@@ -1,0 +1,102 @@
+"""Headline benchmark: ADC queries/sec/chip at recall@10, PQ M=16 B=8, D=1536.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Setup mirrors BASELINE.json's north-star config (dbpedia-1536 geometry:
+N=100k, D=1536, PQ M=16 B=8, k=10).  Corpus is synthetic when the real
+dbpedia files are absent (QPS is geometry-bound, not data-bound; recall is
+reported for the same data the GT was computed on, so it is self-consistent).
+
+vs_baseline: the reference's measured single-core ADC scoring rate is
+~2.4 M vec/s for uniform-width ADC (reference bench/ffd_speed.cpp:10-16, at
+D=1024); at N=100k rows that is 24 queries/s/core.  vs_baseline = our
+QPS/chip ÷ 24.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vq_tpu.core.config import KMeansConfig, Metric, PQConfig
+    from vq_tpu.kernels.adc import exact_topk, scan_codes_topk
+    from vq_tpu.methods import pq as pq_mod
+    from vq_tpu.metrics.recall import recall_at_k
+
+    n = int(os.environ.get("VQ_BENCH_N", 100_000))
+    d = int(os.environ.get("VQ_BENCH_D", 1536))
+    nq = int(os.environ.get("VQ_BENCH_Q", 1024))
+    k = 10
+
+    rng = np.random.default_rng(0)
+    # power-law spectrum mimicking text-embedding covariance decay; queries
+    # are jittered corpus rows so GT neighbors are findable.  Note M=16 B=8
+    # at D=1536 is 0.083 bits/dim (512x compression) — recall@10 is
+    # intrinsically modest at this geometry on ANY data; the headline here
+    # is the scan throughput at the north-star code shape.
+    sigma = (1.0 + np.arange(d)) ** -0.75
+    x = (rng.standard_normal((n, d)) * sigma).astype(np.float32)
+    q = (
+        x[rng.integers(0, n, nq)]
+        + 0.25 * sigma * rng.standard_normal((nq, d))
+    ).astype(np.float32)
+
+    xd = jnp.asarray(x)
+    qd = jnp.asarray(q)
+
+    cfg = PQConfig(num_subquantizers=16, num_bits=8, kmeans=KMeansConfig(iters=20))
+    params = pq_mod.fit(jax.random.PRNGKey(0), xd, cfg)
+    codes = pq_mod.encode(params, xd)
+    codes.block_until_ready()
+
+    # ground truth on-device
+    _, gt = exact_topk(qd, xd, k=k, metric=Metric.L2)
+    gt = np.asarray(gt)
+
+    tile = int(os.environ.get("VQ_BENCH_TILE", 8192))
+
+    def run():
+        s, i = scan_codes_topk(
+            qd, codes, params.codebooks, k=k, metric=Metric.L2,
+            tile_rows=tile, use_bf16=True,
+        )
+        return i
+
+    ids = np.asarray(run())  # compile + warmup
+    recall = recall_at_k(gt, ids, k)
+
+    reps = 5
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run().block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    qps = nq / best
+
+    baseline_qps = 2.4e6 / n  # reference 1-core uniform-ADC rate / corpus size
+    print(
+        json.dumps(
+            {
+                "metric": "adc_qps_per_chip@recall10_pq16x8_d1536_n100k",
+                "value": round(qps, 1),
+                "unit": "queries/s/chip",
+                "vs_baseline": round(qps / baseline_qps, 1),
+                "recall_at_10": round(recall, 4),
+                "scan_wall_s": round(best, 5),
+                "n": n,
+                "num_queries": nq,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

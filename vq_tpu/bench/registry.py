@@ -1,0 +1,129 @@
+"""Method registry: (method name, hyperparams, dim) → quantizer.
+
+Unifies the reference's two registries (benchmarks/method_registry.py:16-61
+for the faiss family and method_registry_saq.py:20-74 for the SAQ/study
+family) into one dispatch.  Methods are added here as the corresponding
+modules land; `ALL_METHODS` is the sweep grid's universe.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from vq_tpu.core.config import (
+    KMeansConfig,
+    LVQConfig,
+    OPQConfig,
+    PQConfig,
+    RaBitQConfig,
+    RankAwareConfig,
+    SAQConfig,
+    SQConfig,
+)
+from vq_tpu.methods.base import BaseQuantizer
+
+
+def largest_divisor_leq(d: int, target: int) -> int:
+    """Largest divisor of d that is ≤ target (reference
+    method_registry.py:16-28: PQ needs M | D)."""
+    target = max(1, min(d, target))
+    for m in range(target, 0, -1):
+        if d % m == 0:
+            return m
+    return 1
+
+
+def bpd_to_pq_m(bits_per_dim: float, d: int, b: int = 8) -> int:
+    """Convert a bits-per-dimension budget to a PQ subquantizer count:
+    M ≈ bpd·D/B, snapped to a divisor of D (reference ivf_benchmark.py:81-93)."""
+    m_target = max(1, int(round(bits_per_dim * d / b)))
+    return largest_divisor_leq(d, m_target)
+
+
+def build_quantizer(method: str, dim: int, **kw) -> BaseQuantizer:
+    """Construct a quantizer by name.
+
+    Common kwargs: M / B (PQ, OPQ), bits (SQ, RaBitQ, LVQ), bpd + allocator
+    (SAQ, RankAware), kmeans_iters, seed.
+    """
+    method = method.lower()
+    iters = kw.pop("kmeans_iters", 20)
+    seed = kw.pop("seed", 0)
+    km = KMeansConfig(iters=iters, seed=seed)
+
+    if method == "pq":
+        m = kw.pop("M", None) or bpd_to_pq_m(kw.pop("bpd", 1.0), dim, kw.get("B", 8))
+        b = kw.pop("B", 8)
+        from vq_tpu.methods.pq import PQ
+
+        return PQ(PQConfig(num_subquantizers=m, num_bits=b, kmeans=km), seed=seed)
+
+    if method == "sq":
+        from vq_tpu.methods.sq import SQ
+
+        return SQ(SQConfig(num_bits=kw.pop("bits", kw.pop("B", 8))))
+
+    if method == "opq":
+        m = kw.pop("M", None) or bpd_to_pq_m(kw.pop("bpd", 1.0), dim, kw.get("B", 8))
+        b = kw.pop("B", 8)
+        from vq_tpu.methods.opq import OPQ
+
+        return OPQ(
+            OPQConfig(
+                num_subquantizers=m,
+                num_bits=b,
+                opq_iters=kw.pop("opq_iters", 10),
+                kmeans=km,
+            ),
+            seed=seed,
+        )
+
+    if method in ("rabitq", "extended_rabitq", "xrabitq"):
+        bits = kw.pop("bits", kw.pop("B", 1 if method == "rabitq" else 4))
+        from vq_tpu.methods.rabitq import RaBitQ
+
+        return RaBitQ(RaBitQConfig(num_bits=bits, seed=seed))
+
+    if method in ("saq", "saq_paper", "ours", "caq"):
+        from vq_tpu.methods.saq import SAQ
+
+        return SAQ(
+            SAQConfig(
+                bits_per_dim=kw.pop("bpd", 4.0),
+                allocator=kw.pop("allocator", "greedy"),
+                use_pca=kw.pop("use_pca", True),
+                caq_rounds=kw.pop("caq_rounds", 6),
+                seed=seed,
+            )
+        )
+
+    if method == "lvq":
+        from vq_tpu.methods.lvq import LVQ
+
+        return LVQ(LVQConfig(num_bits=kw.pop("bits", kw.pop("B", 8))))
+
+    if method in ("rankaware", "perdim_mse"):
+        from vq_tpu.methods.rankaware import RankAware
+
+        return RankAware(
+            RankAwareConfig(
+                bits_per_dim=kw.pop("bpd", 4.0),
+                alpha=kw.pop("alpha", 0.5 if method == "rankaware" else 0.0),
+                seed=seed,
+            )
+        )
+
+    raise ValueError(f"unknown method {method!r}; known: {ALL_METHODS}")
+
+
+ALL_METHODS: List[str] = [
+    "pq",
+    "sq",
+    "opq",
+    "rabitq",
+    "extended_rabitq",
+    "saq",
+    "lvq",
+    "rankaware",
+    "perdim_mse",
+]

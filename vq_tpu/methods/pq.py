@@ -1,0 +1,96 @@
+"""Product Quantization, TPU-native.
+
+Capability parity with the reference's faiss-backed ProductQuantizer
+(src/haag_vq/methods/product_quantization.py:9-99): M subquantizers × B bits,
+per-chunk codebooks of shape (M, 2^B, D/M).  Training runs all M subspace
+k-means problems as one vmapped batched-Lloyd program on the MXU
+(kernels/kmeans.py) instead of faiss's sequential per-subspace loop; encoding
+is a tiled matmul-argmin; decoding is the one-hot × codebook matmul shared
+with the fused ADC scan (kernels/adc.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.core.config import PQConfig
+from vq_tpu.kernels.adc import decode_pq
+from vq_tpu.kernels.kmeans import assign_batched, kmeans_batched
+from vq_tpu.methods.base import BaseQuantizer
+
+
+class PQParams(NamedTuple):
+    codebooks: jax.Array  # (M, K, dsub) float32
+
+
+def _to_subspaces(x: jax.Array, m: int) -> jax.Array:
+    """(N, D) → (M, N, D/M)."""
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by num_subquantizers {m}")
+    return x.reshape(n, m, d // m).transpose(1, 0, 2)
+
+
+def fit(key: jax.Array, x: jax.Array, cfg: PQConfig) -> PQParams:
+    xs = _to_subspaces(jnp.asarray(x, dtype=jnp.float32), cfg.num_subquantizers)
+    codebooks = kmeans_batched(key, xs, cfg.codebook_size, cfg.kmeans)
+    return PQParams(codebooks=codebooks)
+
+
+def encode(params: PQParams, x: jax.Array) -> jax.Array:
+    """(N, D) → (N, M) integer codes (uint8 for B ≤ 8, else uint16)."""
+    m = params.codebooks.shape[0]
+    xs = _to_subspaces(jnp.asarray(x, dtype=jnp.float32), m)
+    codes = assign_batched(xs, params.codebooks).T  # (N, M)
+    dtype = jnp.uint8 if params.codebooks.shape[1] <= 256 else jnp.uint16
+    return codes.astype(dtype)
+
+
+def decode(params: PQParams, codes: jax.Array) -> jax.Array:
+    return decode_pq(params.codebooks, codes)
+
+
+class PQ(BaseQuantizer):
+    name = "pq"
+
+    def __init__(self, cfg: PQConfig = PQConfig(), seed: int = 0):
+        super().__init__()
+        self.cfg = cfg
+        self.seed = seed
+
+    def fit(self, X: np.ndarray) -> "PQ":
+        self._dim = X.shape[1]
+        self.params = fit(jax.random.PRNGKey(self.seed), jnp.asarray(X), self.cfg)
+        return self
+
+    def compress(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(encode(self.params, jnp.asarray(X)))
+
+    def decompress(self, codes: np.ndarray) -> np.ndarray:
+        return np.asarray(decode(self.params, jnp.asarray(codes)))
+
+    def decode_fn(self):
+        codebooks = self.params.codebooks
+        return lambda ct: decode_pq(codebooks, ct)
+
+    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=2048, use_bf16=True):
+        from vq_tpu.kernels.adc import scan_codes_topk
+
+        return scan_codes_topk(
+            queries, codes, self.params.codebooks, k, metric, norms, tile_rows, use_bf16
+        )
+
+    def code_bytes_per_vector(self) -> float:
+        bytes_per_code = 1 if self.cfg.num_bits <= 8 else 2
+        return float(self.cfg.num_subquantizers * bytes_per_code)
+
+    def config_dict(self):
+        return {
+            "M": self.cfg.num_subquantizers,
+            "B": self.cfg.num_bits,
+            "kmeans_iters": self.cfg.kmeans.iters,
+        }
