@@ -1,0 +1,492 @@
+"""SAQ — variance-aware segmented CAQ quantization, TPU-native.
+
+Re-design of the reference's native SAQ C++20 engine (SURVEY.md §2.2
+N1-N9): the quantization plan (external/saq/include/saq/quantization_plan.h),
+greedy/DP bit allocators (bit_allocator_greedy.cpp, quantization_plan.cpp:
+144-255), per-segment rotators (rotator.h:20-88), CAQ encoder
+(caq_encoder.h — see kernels/caq.py), and the K=1 fit/decompress path the
+study pipeline uses (SaqEngineAdapter, benchmarks/quantizer_adapters.py:
+62-135; ivf_index.cpp:196-374).
+
+Pipeline:
+  fit:    (optional) PCA → per-dim variance → empirical per-block MSE table
+          (uniform-CAQ quantizer MSE on a sample, the analog of the engine's
+          Lloyd MSE table, quantization_plan.cpp:21-51) → greedy or DP bit
+          allocation over 64-dim blocks under budget D·bpd − segment factor
+          overhead → merge equal-bit blocks into segments → per-segment
+          seeded random rotations.
+  encode: per segment: slice + rotate + batched-Jacobi CAQ encode + bit-pack;
+          row layout [seg codes...][rescale f32 × S][o_l2norm f32 × S] —
+          self-contained rows, 2 float factors per segment (the engine's
+          64-bit factor overhead, quantization_plan.h:166).
+  search: queries are PCA-projected and segment-rotated ONCE; each corpus
+          tile needs only bit-unpack + dequant + per-segment MXU matmuls
+          (no per-tile rotations) — the TPU analog of the engine's LUT scan.
+
+Allocation cost is a tiny host-side scalar loop (SURVEY.md §7.3: scalar DPs
+don't vectorize; everything per-vector runs on device).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.core.config import Metric, SAQConfig
+from vq_tpu.core.packing import (
+    bytes_to_f32,
+    f32_to_bytes,
+    pack_bits,
+    packed_bytes,
+    unpack_bits,
+)
+from vq_tpu.kernels.adc import _bf16_supported, _finalize, _streaming_topk
+from vq_tpu.kernels.caq import caq_decode, caq_encode
+from vq_tpu.methods.base import BaseQuantizer
+
+
+@dataclass(frozen=True)
+class SAQPlan:
+    """Static quantization plan (host-side; hashable for jit closures).
+
+    Parity with the engine's SaqData plan container
+    (quantization_plan.h:98-163): per-segment (start, length, bits) over the
+    PCA-rotated, variance-descending dimension order.
+    """
+
+    dim: int
+    seg_starts: Tuple[int, ...]
+    seg_lens: Tuple[int, ...]
+    seg_bits: Tuple[int, ...]
+
+    @property
+    def num_segments(self) -> int:
+        return len(self.seg_starts)
+
+    @property
+    def code_bytes(self) -> int:
+        return sum(
+            packed_bytes(l, b) for l, b in zip(self.seg_lens, self.seg_bits)
+        ) + 8 * self.num_segments
+
+
+class SAQParams(NamedTuple):
+    pca_mean: jax.Array  # (D,)
+    pca_rot: jax.Array  # (D, D) orthogonal (identity when use_pca=False)
+    seg_rots: Tuple[jax.Array, ...]  # per-segment (len, len) rotations
+
+
+# ---------------------------------------------------------------------------
+# fit: PCA, MSE table, allocation
+# ---------------------------------------------------------------------------
+
+
+def _pca(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """mean, rotation (descending eigenvalue order), variances."""
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    cov = jnp.dot(xc.T, xc, precision=jax.lax.Precision.HIGHEST) / x.shape[0]
+    w, v = jnp.linalg.eigh(cov)  # ascending
+    order = jnp.argsort(-w)
+    return mean, v[:, order], w[order]
+
+
+def _uniform_caq_mse_table(
+    x_rot: jax.Array, max_bits: int, block_dims: int
+) -> np.ndarray:
+    """Empirical per-dim MSE at each bit width 0..max_bits using the CAQ base
+    quantizer (per-vector symmetric range, mid-rise) — the engine's
+    build_mse_table_for_allocation (quantization_plan.cpp:21-51) with the
+    uniform quantizer the encoder actually uses.  The per-vector range v_mx
+    is taken over each allocation BLOCK (matching the encoder's per-segment
+    scaling — a whole-row range would make low-variance blocks look useless
+    and wreck the greedy allocation).  → (D, max_bits+1)."""
+    d = x_rot.shape[1]
+    cols = []
+    for st in range(0, d, block_dims):
+        xb = x_rot[:, st : st + block_dims]
+        v_mx = jnp.maximum(jnp.max(jnp.abs(xb), axis=1, keepdims=True), 1e-20)
+        ou = xb / v_mx
+        out = [jnp.mean(xb * xb, axis=0)]  # b=0 → MSE = E[x²]
+        for b in range(1, max_bits + 1):
+            delta = 2.0 / (1 << b)
+            cmax = (1 << b) - 1
+            codes = jnp.clip(jnp.floor((ou + 1.0) / delta), 0, cmax)
+            oa = ((codes + 0.5) * delta - 1.0) * v_mx
+            out.append(jnp.mean((xb - oa) ** 2, axis=0))
+        cols.append(jnp.stack(out, axis=1))  # (block_len, max_bits+1)
+    return np.asarray(jnp.concatenate(cols, axis=0))
+
+
+def _allocate_greedy(
+    block_mse: np.ndarray, block_lens: np.ndarray, budget_bits: int, max_bits: int
+) -> np.ndarray:
+    """Greedy marginal-gain allocation: repeatedly grant +1 bit/dim to the
+    block with the best ΔMSE per bit (bit_allocator_greedy.cpp semantics).
+    block_mse: (nblocks, max_bits+1) summed-over-dims MSE."""
+    nb = len(block_lens)
+    bits = np.zeros(nb, dtype=np.int64)
+    spent = 0
+    while True:
+        gains = np.full(nb, -np.inf)
+        for i in range(nb):
+            b = bits[i]
+            if b < max_bits and spent + block_lens[i] <= budget_bits:
+                gains[i] = (block_mse[i, b] - block_mse[i, b + 1]) / block_lens[i]
+        best = int(np.argmax(gains))
+        if not np.isfinite(gains[best]) or gains[best] <= 0:
+            break
+        bits[best] += 1
+        spent += int(block_lens[best])
+    return bits
+
+
+def _allocate_dp(
+    block_mse: np.ndarray, block_lens: np.ndarray, budget_bits: int, max_bits: int
+) -> np.ndarray:
+    """Exact DP over (block, spent-bits) minimizing total MSE
+    (quantization_plan.cpp:144-255 dynamic_programming, without the
+    segment-overhead term which is charged up-front here)."""
+    nb = len(block_lens)
+    # quantize budget in units of the (uniform) block length when possible
+    INF = np.inf
+    dp = np.full(budget_bits + 1, INF)
+    dp[0] = 0.0
+    choice = np.zeros((nb, budget_bits + 1), dtype=np.int64)
+    for i in range(nb):
+        ndp = np.full(budget_bits + 1, INF)
+        nch = np.zeros(budget_bits + 1, dtype=np.int64)
+        for b in range(0, max_bits + 1):
+            cost_bits = b * int(block_lens[i])
+            if cost_bits > budget_bits:
+                break
+            mse = block_mse[i, b]
+            prev = dp[: budget_bits + 1 - cost_bits]
+            cand = prev + mse
+            sl = np.s_[cost_bits : budget_bits + 1]
+            upd = cand < ndp[sl]
+            ndp[sl] = np.where(upd, cand, ndp[sl])
+            nch[sl] = np.where(upd, b, nch[sl])
+        dp = ndp
+        choice[i] = nch
+    # backtrack from the best total ≤ budget
+    j = int(np.argmin(dp))
+    bits = np.zeros(nb, dtype=np.int64)
+    for i in range(nb - 1, -1, -1):
+        b = int(choice[i, j])
+        bits[i] = b
+        j -= b * int(block_lens[i])
+    return bits
+
+
+def make_plan(
+    variances: np.ndarray,
+    mse_table: np.ndarray,
+    cfg: SAQConfig,
+) -> SAQPlan:
+    """Build the segment plan from per-dim stats (host-side scalar work)."""
+    d = len(variances)
+    block = cfg.block_dims
+    nb = (d + block - 1) // block
+    block_lens = np.array(
+        [min(block, d - i * block) for i in range(nb)], dtype=np.int64
+    )
+    block_mse = np.stack(
+        [
+            mse_table[i * block : i * block + block_lens[i]].sum(axis=0)
+            for i in range(nb)
+        ]
+    )  # (nb, max_bits+1)
+
+    total_budget = int(round(cfg.bits_per_dim * d))
+    if cfg.allocator == "uniform":
+        b = max(1, min(cfg.max_bits, int(round(cfg.bits_per_dim))))
+        bits = np.full(nb, b, dtype=np.int64)
+    elif cfg.allocator == "dp":
+        bits = _allocate_dp(block_mse, block_lens, total_budget, cfg.max_bits)
+    else:
+        bits = _allocate_greedy(block_mse, block_lens, total_budget, cfg.max_bits)
+
+    # merge adjacent equal-bit blocks into segments; drop 0-bit tails
+    seg_starts: List[int] = []
+    seg_lens: List[int] = []
+    seg_bits: List[int] = []
+    pos = 0
+    for i in range(nb):
+        ln, b = int(block_lens[i]), int(bits[i])
+        if b > 0:
+            if seg_bits and seg_bits[-1] == b and seg_starts[-1] + seg_lens[-1] == pos:
+                seg_lens[-1] += ln
+            else:
+                seg_starts.append(pos)
+                seg_lens.append(ln)
+                seg_bits.append(b)
+        pos += ln
+    if not seg_starts:  # degenerate budget → at least one 1-bit segment
+        seg_starts, seg_lens, seg_bits = [0], [min(block, d)], [1]
+    return SAQPlan(
+        dim=d,
+        seg_starts=tuple(seg_starts),
+        seg_lens=tuple(seg_lens),
+        seg_bits=tuple(seg_bits),
+    )
+
+
+def fit(
+    key: jax.Array, x: jax.Array, cfg: SAQConfig, sample_cap: int = 200_000
+) -> Tuple[SAQPlan, SAQParams]:
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n, d = x.shape
+    if n > sample_cap:
+        idx = jax.random.choice(key, n, (sample_cap,), replace=False)
+        xs = x[idx]
+    else:
+        xs = x
+
+    if cfg.use_pca:
+        mean, rot, variances = _pca(xs)
+    else:
+        mean = jnp.zeros((d,), jnp.float32)
+        rot = jnp.eye(d, dtype=jnp.float32)
+        variances = jnp.var(xs, axis=0)
+
+    x_rot = jnp.dot(xs - mean, rot, precision=jax.lax.Precision.HIGHEST)
+    mse_table = _uniform_caq_mse_table(x_rot, cfg.max_bits, cfg.block_dims)
+    plan = make_plan(np.asarray(variances), mse_table, cfg)
+
+    rng = np.random.default_rng(cfg.seed)
+    seg_rots = tuple(
+        jnp.asarray(np.linalg.qr(rng.standard_normal((l, l)))[0], dtype=jnp.float32)
+        for l in plan.seg_lens
+    )
+    return plan, SAQParams(pca_mean=mean, pca_rot=rot, seg_rots=seg_rots)
+
+
+# ---------------------------------------------------------------------------
+# encode / decode
+# ---------------------------------------------------------------------------
+
+
+def encode(plan: SAQPlan, params: SAQParams, x: jax.Array, caq_rounds: int = 6) -> jax.Array:
+    x = jnp.asarray(x, dtype=jnp.float32)
+    xp = jnp.dot(x - params.pca_mean, params.pca_rot,
+                 precision=jax.lax.Precision.HIGHEST)
+    packed_parts, rescales, norms = [], [], []
+    for s in range(plan.num_segments):
+        st, ln, b = plan.seg_starts[s], plan.seg_lens[s], plan.seg_bits[s]
+        o = jnp.dot(xp[:, st : st + ln], params.seg_rots[s],
+                    precision=jax.lax.Precision.HIGHEST)
+        caq = caq_encode(o, b, rounds=caq_rounds)
+        packed_parts.append(pack_bits(caq.codes, b))
+        rescales.append(f32_to_bytes(caq.rescale))
+        norms.append(f32_to_bytes(caq.o_l2norm))
+    return jnp.concatenate(packed_parts + rescales + norms, axis=1)
+
+
+def _split_row(plan: SAQPlan, codes: jax.Array):
+    """Slice a code-row batch into per-segment (packed, rescale, norm)."""
+    offs = []
+    pos = 0
+    for s in range(plan.num_segments):
+        nb = packed_bytes(plan.seg_lens[s], plan.seg_bits[s])
+        offs.append((pos, nb))
+        pos += nb
+    out = []
+    fpos = pos
+    for s, (p, nb) in enumerate(offs):
+        packed = codes[:, p : p + nb]
+        rescale = bytes_to_f32(codes[:, fpos + 4 * s : fpos + 4 * s + 4])
+        npos = fpos + 4 * plan.num_segments
+        norm = bytes_to_f32(codes[:, npos + 4 * s : npos + 4 * s + 4])
+        out.append((packed, rescale, norm))
+    return out
+
+
+def decode(plan: SAQPlan, params: SAQParams, codes: jax.Array) -> jax.Array:
+    n = codes.shape[0]
+    parts = _split_row(plan, codes)
+    xp = jnp.zeros((n, plan.dim), dtype=jnp.float32)
+    for s, (packed, rescale, _norm) in enumerate(parts):
+        st, ln, b = plan.seg_starts[s], plan.seg_lens[s], plan.seg_bits[s]
+        idx = unpack_bits(packed, b, ln)
+        o_hat = caq_decode(idx, rescale, b)
+        seg = jnp.dot(o_hat, params.seg_rots[s].T,
+                      precision=jax.lax.Precision.HIGHEST)
+        xp = xp.at[:, st : st + ln].set(seg)
+    return (
+        jnp.dot(xp, params.pca_rot.T, precision=jax.lax.Precision.HIGHEST)
+        + params.pca_mean
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused scan (queries rotated once; no per-tile rotations)
+# ---------------------------------------------------------------------------
+
+
+def scan_topk(
+    plan: SAQPlan,
+    params: SAQParams,
+    queries: jax.Array,
+    codes: jax.Array,
+    k: int,
+    metric: Metric,
+    norms: Optional[jax.Array] = None,
+    tile_rows: int = 2048,
+    use_bf16: bool = True,
+    num_valid: Optional[jax.Array] = None,
+):
+    n = codes.shape[0]
+    num_q = queries.shape[0]
+    tile = min(tile_rows, max(8, n))
+    use_bf16 = use_bf16 and _bf16_supported()
+    dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if use_bf16 else jax.lax.Precision.HIGHEST
+
+    queries = jnp.asarray(queries, dtype=jnp.float32)
+    q_sq = jnp.sum(queries * queries, axis=-1)
+    qp = jnp.dot(queries - 0.0, params.pca_rot, precision=jax.lax.Precision.HIGHEST)
+    # q·x̂ = q·mean + Σ_s (q R)_s · ô_s   with (qR)_s the segment-rotated query
+    q_mean = jnp.dot(queries, params.pca_mean, precision=jax.lax.Precision.HIGHEST)
+    mean_sq = jnp.sum(params.pca_mean**2)
+    q_segs = []
+    for s in range(plan.num_segments):
+        st, ln = plan.seg_starts[s], plan.seg_lens[s]
+        q_segs.append(
+            jnp.dot(qp[:, st : st + ln], params.seg_rots[s],
+                    precision=jax.lax.Precision.HIGHEST).astype(dt)
+        )
+
+    # mean in segment space, for the ‖x̂‖² cross term: x̂ = mean + r̂ with
+    # r̂ = xp_hat @ rotᵀ, so mean·r̂ = (mean @ rot)_s · ô_s summed over segments
+    mean_p = jnp.dot(params.pca_mean, params.pca_rot,
+                     precision=jax.lax.Precision.HIGHEST)
+    mean_segs = [
+        jnp.dot(mean_p[plan.seg_starts[s] : plan.seg_starts[s] + plan.seg_lens[s]],
+                params.seg_rots[s], precision=jax.lax.Precision.HIGHEST)
+        for s in range(plan.num_segments)
+    ]
+
+    n_pad = (-n) % tile
+    codes_p = jnp.pad(codes, ((0, n_pad), (0, 0)))
+    norms_p = None
+    if metric == Metric.NIP:
+        if norms is None:
+            raise ValueError("Metric.NIP requires original row norms")
+        norms_p = jnp.pad(norms.astype(jnp.float32), (0, n_pad), constant_values=1.0)
+
+    def score_tile(start):
+        ct = jax.lax.dynamic_slice_in_dim(codes_p, start, tile, axis=0)
+        parts = _split_row(plan, ct)
+        ip_res = jnp.zeros((num_q, tile), jnp.float32)  # q·(x̂−mean)
+        res_sq = jnp.zeros((tile,), jnp.float32)  # ‖x̂−mean‖²
+        for s, (packed, rescale, _nrm) in enumerate(parts):
+            ln, b = plan.seg_lens[s], plan.seg_bits[s]
+            idx = unpack_bits(packed, b, ln)
+            o_hat = caq_decode(idx, rescale, b)  # (T, len)
+            ip_res = ip_res + jnp.dot(
+                q_segs[s], o_hat.astype(dt).T,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            res_sq = res_sq + jnp.sum(o_hat * o_hat, axis=1)
+        ip = ip_res + q_mean[:, None]
+        if metric == Metric.L2:
+            # maximize 2q·x̂ − ‖x̂‖² with
+            # ‖x̂‖² = ‖mean‖² + 2·mean·r̂ + ‖r̂‖² (rotations orthogonal)
+            md = jnp.zeros((tile,), jnp.float32)
+            for s, (packed, rescale, _nrm) in enumerate(parts):
+                ln, b = plan.seg_lens[s], plan.seg_bits[s]
+                idx2 = unpack_bits(packed, b, ln)
+                o_hat2 = caq_decode(idx2, rescale, b)
+                md = md + jnp.dot(o_hat2, mean_segs[s],
+                                  precision=jax.lax.Precision.HIGHEST)
+            s_val = 2.0 * ip - (mean_sq + 2.0 * md[None, :] + res_sq[None, :])
+        elif metric == Metric.IP:
+            s_val = ip
+        else:
+            nt = jax.lax.dynamic_slice_in_dim(norms_p, start, tile, axis=0)
+            s_val = ip / jnp.maximum(nt, 1e-30)[None, :]
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        limit = n if num_valid is None else jnp.minimum(n, num_valid)
+        return jnp.where(col < limit, s_val, -jnp.inf)
+
+    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile)
+    return _finalize(scores, idx, metric, q_sq)
+
+
+class SAQ(BaseQuantizer):
+    name = "saq"
+
+    def __init__(self, cfg: SAQConfig = SAQConfig()):
+        super().__init__()
+        self.cfg = cfg
+        self.plan: Optional[SAQPlan] = None
+
+    def fit(self, X: np.ndarray) -> "SAQ":
+        self._dim = X.shape[1]
+        self.plan, self.params = fit(
+            jax.random.PRNGKey(self.cfg.seed), jnp.asarray(X), self.cfg
+        )
+        return self
+
+    def compress(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            encode(self.plan, self.params, jnp.asarray(X), self.cfg.caq_rounds)
+        )
+
+    def decompress(self, codes: np.ndarray) -> np.ndarray:
+        return np.asarray(decode(self.plan, self.params, jnp.asarray(codes)))
+
+    def decode_fn(self):
+        plan, params = self.plan, self.params
+        return lambda ct: decode(plan, params, ct)
+
+    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=2048, use_bf16=True):
+        return scan_topk(
+            self.plan, self.params, queries, codes, k, metric,
+            norms=norms, tile_rows=tile_rows, use_bf16=use_bf16,
+        )
+
+    def code_bytes_per_vector(self) -> float:
+        return float(self.plan.code_bytes)
+
+    def config_dict(self):
+        return {
+            "bpd": self.cfg.bits_per_dim,
+            "allocator": self.cfg.allocator,
+            "use_pca": self.cfg.use_pca,
+            "segments": [
+                {"start": s, "len": l, "bits": b}
+                for s, l, b in zip(
+                    self.plan.seg_starts, self.plan.seg_lens, self.plan.seg_bits
+                )
+            ]
+            if self.plan
+            else None,
+        }
+
+    def save(self, path: str) -> None:
+        import pickle, os
+
+        host = jax.tree_util.tree_map(np.asarray, self.params)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(
+                {"name": self.name, "dim": self._dim, "plan": self.plan,
+                 "params": host, "config": self.config_dict()},
+                f,
+            )
+
+    def load(self, path: str) -> "SAQ":
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self._dim = payload["dim"]
+        self.plan = payload["plan"]
+        self.params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        return self
