@@ -1,0 +1,99 @@
+import numpy as np
+
+from vq_tpu.core.config import (
+    IVFConfig,
+    KMeansConfig,
+    Metric,
+    PQConfig,
+    RaBitQConfig,
+    SearchConfig,
+    SQConfig,
+)
+from vq_tpu.data.datasets import load_dummy_dataset
+from vq_tpu.index.ivf import IvfQuantizedIndex
+from vq_tpu.methods.pq import PQ
+from vq_tpu.methods.rabitq import RaBitQ
+from vq_tpu.methods.sq import SQ
+from vq_tpu.metrics.recall import recall_at_k
+
+
+def _ivf(nq=16, nprobe=8):
+    return IVFConfig(num_clusters=nq, nprobe=nprobe, kmeans=KMeansConfig(iters=8))
+
+
+def test_ivf_search_shapes():
+    data = load_dummy_dataset(num_vectors=1500, dim=32, num_queries=12, seed=0)
+    idx = IvfQuantizedIndex(SQ(SQConfig(num_bits=8)), _ivf()).fit(data.vectors)
+    ids, scores = idx.search_with_scores(data.queries, k=7)
+    assert ids.shape == (12, 7)
+    assert ids.dtype == np.uint32
+    assert np.all(np.diff(scores, axis=1) >= -1e-4)  # L2 ascending
+
+
+def test_ivf_full_probe_matches_flat_recall():
+    # nprobe == nlist → exhaustive: recall should match the flat index
+    data = load_dummy_dataset(num_vectors=2000, dim=32, num_queries=30, seed=1)
+    sq_flat = SQ(SQConfig(num_bits=8))
+    from vq_tpu.index.flat import FlatQuantizedIndex
+
+    flat = FlatQuantizedIndex(sq_flat).fit(data.vectors)
+    r_flat = recall_at_k(data.ground_truth, flat.search(data.queries, 10), 10)
+    ivf = IvfQuantizedIndex(
+        SQ(SQConfig(num_bits=8)), _ivf(nq=16, nprobe=16)
+    ).fit(data.vectors)
+    r_ivf = recall_at_k(data.ground_truth, ivf.search(data.queries, 10), 10)
+    assert r_ivf >= r_flat - 0.05, (r_ivf, r_flat)
+
+
+def test_ivf_recall_increases_with_nprobe():
+    data = load_dummy_dataset(num_vectors=3000, dim=32, num_queries=40, seed=2)
+    recalls = []
+    for nprobe in (1, 4, 16):
+        idx = IvfQuantizedIndex(
+            SQ(SQConfig(num_bits=8)), _ivf(nq=16, nprobe=nprobe)
+        ).fit(data.vectors)
+        recalls.append(
+            recall_at_k(data.ground_truth, idx.search(data.queries, 10), 10)
+        )
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] > 0.9  # 8-bit SQ residuals, full-ish probing
+
+
+def test_ivf_pq_composite():
+    data = load_dummy_dataset(num_vectors=2000, dim=32, num_queries=25, seed=3)
+    idx = IvfQuantizedIndex(
+        PQ(PQConfig(num_subquantizers=8, num_bits=8, kmeans=KMeansConfig(iters=8))),
+        _ivf(nq=16, nprobe=12),
+    ).fit(data.vectors)
+    r = recall_at_k(data.ground_truth, idx.search(data.queries, 10), 10)
+    assert r > 0.45, r
+
+
+def test_ivf_rabitq_composite():
+    data = load_dummy_dataset(num_vectors=2000, dim=32, num_queries=25, seed=4)
+    idx = IvfQuantizedIndex(
+        RaBitQ(RaBitQConfig(num_bits=4)), _ivf(nq=16, nprobe=12)
+    ).fit(data.vectors)
+    r = recall_at_k(data.ground_truth, idx.search(data.queries, 10), 10)
+    assert r > 0.45, r
+
+
+def test_ivf_save_load(tmp_path):
+    data = load_dummy_dataset(num_vectors=900, dim=16, num_queries=10, seed=5)
+    idx = IvfQuantizedIndex(SQ(SQConfig(num_bits=8)), _ivf(nq=8, nprobe=4)).fit(
+        data.vectors
+    )
+    ids, scores = idx.search_with_scores(data.queries, k=5)
+    p = str(tmp_path / "ivf.pkl")
+    idx.save(p)
+    idx2 = IvfQuantizedIndex(SQ(SQConfig(num_bits=8)), _ivf()).load(p)
+    ids2, scores2 = idx2.search_with_scores(data.queries, k=5)
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_allclose(scores, scores2, rtol=1e-5)
+
+
+def test_ivf_reconstruction_mse():
+    data = load_dummy_dataset(num_vectors=1200, dim=16, num_queries=5, seed=6)
+    idx = IvfQuantizedIndex(SQ(SQConfig(num_bits=8)), _ivf(nq=8)).fit(data.vectors)
+    mse = idx.reconstruction_mse(data.vectors, sample=500)
+    assert 0 <= mse < 0.01  # 8-bit residual quantization

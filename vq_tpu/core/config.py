@@ -143,6 +143,7 @@ class RankAwareConfig:
     alpha: float = 0.5
     max_bits: int = 8
     codebook: str = "lloyd"  # "gaussian" | "lloyd"
+    packing: str = "dense"  # "dense" (cross-byte bit stream) | "ffd" (byte-aligned)
     seed: int = 0
 
 

@@ -1,4 +1,5 @@
 from vq_tpu.index.base import BaseSearchIndex
 from vq_tpu.index.flat import FlatQuantizedIndex
+from vq_tpu.index.ivf import IvfQuantizedIndex
 
-__all__ = ["BaseSearchIndex", "FlatQuantizedIndex"]
+__all__ = ["BaseSearchIndex", "FlatQuantizedIndex", "IvfQuantizedIndex"]
