@@ -59,6 +59,7 @@ class FlatQuantizedIndex(BaseSearchIndex):
             norms=self.norms,
             tile_rows=self.search_cfg.tile_rows,
             use_bf16=self.search_cfg.use_bf16,
+            approx=self.search_cfg.approx,
         )
         return np.asarray(idx).astype(np.uint32), np.asarray(scores)
 

@@ -85,14 +85,43 @@ def _streaming_topk(
     num_queries: int,
     k: int,
     tile: int,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fold per-tile scores (maximize) into a running (Q, k) top-k.
 
     score_tile_fn(start) must return (Q, tile) f32 scores with padded /
     out-of-range columns already set to -inf.
+
+    Per-tile candidate selection is exact `top_k` by default; with
+    approx=True it uses `lax.approx_max_k` (the TPU partial-reduction
+    top-k, ~2x faster at ≥0.99 within-tile recall); the cross-tile merge is
+    always exact.  Tiles are unrolled as a Python loop (few, large tiles)
+    so XLA can overlap decode/score/top-k across tiles.
     """
     n_tiles = -(-n // tile)
     k = min(k, n)
+
+    def tile_topk(t):
+        start = t * tile
+        s = score_tile_fn(start)
+        if approx and s.shape[-1] >= 512:
+            ts, ti = jax.lax.approx_max_k(s, k, recall_target=0.99)
+        else:
+            ts, ti = jax.lax.top_k(s, k)
+        return ts, ti.astype(jnp.int32) + start
+
+    if n_tiles == 1:
+        return tile_topk(0)
+
+    if n_tiles <= 32:  # unroll: XLA overlaps decode/score/top-k across tiles
+        parts = [tile_topk(t) for t in range(n_tiles)]
+        cs = jnp.concatenate([p[0] for p in parts], axis=-1)
+        ci = jnp.concatenate([p[1] for p in parts], axis=-1)
+        ms, mi = jax.lax.top_k(cs, k)
+        return ms, jnp.take_along_axis(ci, mi, axis=-1)
+
+    # many tiles (pod-scale corpora): rolled loop with running merge keeps
+    # compile time and memory bounded
     init = (
         jnp.full((num_queries, k), -jnp.inf, dtype=jnp.float32),
         jnp.zeros((num_queries, k), dtype=jnp.int32),
@@ -100,10 +129,7 @@ def _streaming_topk(
 
     def body(t, carry):
         best_s, best_i = carry
-        start = t * tile
-        s = score_tile_fn(start)
-        ts, ti = jax.lax.top_k(s, k)
-        ti = ti.astype(jnp.int32) + start
+        ts, ti = tile_topk(t)
         cs = jnp.concatenate([best_s, ts], axis=-1)
         ci = jnp.concatenate([best_i, ti], axis=-1)
         ms, mi = jax.lax.top_k(cs, k)
@@ -122,7 +148,7 @@ def _finalize(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "tile_rows", "use_bf16")
+    jax.jit, static_argnames=("k", "metric", "tile_rows", "use_bf16", "approx")
 )
 def scan_codes_topk(
     queries: jax.Array,
@@ -131,9 +157,10 @@ def scan_codes_topk(
     k: int,
     metric: Metric = Metric.L2,
     norms: Optional[jax.Array] = None,
-    tile_rows: int = 2048,
+    tile_rows: int = 16384,
     use_bf16: bool = True,
     num_valid: Optional[jax.Array] = None,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused ADC scan over a PQ-coded corpus with streaming top-k.
 
@@ -196,7 +223,7 @@ def scan_codes_topk(
         limit = n if num_valid is None else jnp.minimum(n, num_valid)
         return jnp.where(col < limit, s, -jnp.inf)
 
-    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile)
+    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile, approx=approx)
     return _finalize(scores, idx, metric, q_sq)
 
 
@@ -207,9 +234,10 @@ def scan_generic_topk(
     k: int,
     metric: Metric = Metric.L2,
     norms: Optional[jax.Array] = None,
-    tile_rows: int = 2048,
+    tile_rows: int = 16384,
     use_bf16: bool = True,
     num_valid: Optional[jax.Array] = None,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused decode→score→top-k scan for any quantizer.
 
@@ -252,7 +280,7 @@ def scan_generic_topk(
         limit = n if num_valid is None else jnp.minimum(n, num_valid)
         return jnp.where(col < limit, s, -jnp.inf)
 
-    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile)
+    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile, approx=approx)
     return _finalize(scores, idx, metric, q_sq)
 
 

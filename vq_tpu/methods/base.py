@@ -62,14 +62,16 @@ class BaseQuantizer:
         k: int,
         metric,
         norms=None,
-        tile_rows: int = 2048,
+        tile_rows: int = 16384,
         use_bf16: bool = True,
+        approx: bool = False,
     ):
         """Fused ADC search over this method's codes (device arrays in/out)."""
         from vq_tpu.kernels.adc import scan_generic_topk
 
         return scan_generic_topk(
-            queries, codes, self.decode_fn(), k, metric, norms, tile_rows, use_bf16
+            queries, codes, self.decode_fn(), k, metric, norms, tile_rows,
+            use_bf16, approx=approx,
         )
 
     @property

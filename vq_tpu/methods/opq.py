@@ -132,7 +132,8 @@ class OPQ(BaseQuantizer):
         params = self.params
         return lambda ct: decode(params, ct)
 
-    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=2048, use_bf16=True):
+    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
+                  use_bf16=True, approx=False):
         """Rotation is orthogonal → rotate queries once, then the fused PQ
         scan in rotated space gives exact L2/IP/NIP ranking."""
         from vq_tpu.kernels.adc import scan_codes_topk
@@ -140,7 +141,8 @@ class OPQ(BaseQuantizer):
         qr = jnp.dot(jnp.asarray(queries, dtype=jnp.float32), self.params.rotation,
                      precision=jax.lax.Precision.HIGHEST)
         return scan_codes_topk(
-            qr, codes, self.params.codebooks, k, metric, norms, tile_rows, use_bf16
+            qr, codes, self.params.codebooks, k, metric, norms, tile_rows,
+            use_bf16, approx=approx,
         )
 
     def code_bytes_per_vector(self) -> float:

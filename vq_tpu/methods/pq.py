@@ -77,11 +77,13 @@ class PQ(BaseQuantizer):
         codebooks = self.params.codebooks
         return lambda ct: decode_pq(codebooks, ct)
 
-    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=2048, use_bf16=True):
+    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
+                  use_bf16=True, approx=False):
         from vq_tpu.kernels.adc import scan_codes_topk
 
         return scan_codes_topk(
-            queries, codes, self.params.codebooks, k, metric, norms, tile_rows, use_bf16
+            queries, codes, self.params.codebooks, k, metric, norms, tile_rows,
+            use_bf16, approx=approx,
         )
 
     def code_bytes_per_vector(self) -> float:

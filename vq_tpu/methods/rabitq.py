@@ -116,9 +116,10 @@ def scan_topk(
     metric: Metric,
     num_bits: int,
     norms: Optional[jax.Array] = None,
-    tile_rows: int = 2048,
+    tile_rows: int = 16384,
     use_bf16: bool = True,
     num_valid: Optional[jax.Array] = None,
+    approx: bool = False,
 ):
     """Fused RaBitQ scan: rotated queries, per-tile bit-unpack + level
     lookup + MXU scoring; no per-tile D×D rotation."""
@@ -172,7 +173,7 @@ def scan_topk(
         limit = n if num_valid is None else jnp.minimum(n, num_valid)
         return jnp.where(col < limit, s, -jnp.inf)
 
-    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile)
+    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile, approx=approx)
     return _finalize(scores, idx, metric, q_sq)
 
 
@@ -200,10 +201,11 @@ class RaBitQ(BaseQuantizer):
         params, bits = self.params, self.cfg.num_bits
         return lambda ct: decode(params, ct, bits)
 
-    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=2048, use_bf16=True):
+    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
+                  use_bf16=True, approx=False):
         return scan_topk(
             self.params, queries, codes, k, metric, self.cfg.num_bits,
-            norms=norms, tile_rows=tile_rows, use_bf16=use_bf16,
+            norms=norms, tile_rows=tile_rows, use_bf16=use_bf16, approx=approx,
         )
 
     def code_bytes_per_vector(self) -> float:

@@ -204,7 +204,8 @@ class RankAware(BaseQuantizer):
         params, bits, layout, packing = self.params, self.bits, self.layout, self.cfg.packing
         return lambda ct: decode(params, bits, layout, ct, packing)
 
-    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=2048, use_bf16=True):
+    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
+                  use_bf16=True, approx=False):
         """Rotated-query fused scan: q·x̂ = (qV)·ŷ + q·mu, ‖x̂‖² from ŷ."""
         params, bits, layout, packing = self.params, self.bits, self.layout, self.cfg.packing
         n = codes.shape[0]
@@ -256,7 +257,7 @@ class RankAware(BaseQuantizer):
             col = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
             return jnp.where(col < n, s, -jnp.inf)
 
-        scores, idx = _streaming_topk(score_tile, n, num_q, k, tile)
+        scores, idx = _streaming_topk(score_tile, n, num_q, k, tile, approx=approx)
         return _finalize(scores, idx, metric, q_sq)
 
     def code_bytes_per_vector(self) -> float:

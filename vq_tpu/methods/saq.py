@@ -336,9 +336,10 @@ def scan_topk(
     k: int,
     metric: Metric,
     norms: Optional[jax.Array] = None,
-    tile_rows: int = 2048,
+    tile_rows: int = 16384,
     use_bf16: bool = True,
     num_valid: Optional[jax.Array] = None,
+    approx: bool = False,
 ):
     n = codes.shape[0]
     num_q = queries.shape[0]
@@ -414,7 +415,7 @@ def scan_topk(
         limit = n if num_valid is None else jnp.minimum(n, num_valid)
         return jnp.where(col < limit, s_val, -jnp.inf)
 
-    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile)
+    scores, idx = _streaming_topk(score_tile, n, num_q, k, tile, approx=approx)
     return _finalize(scores, idx, metric, q_sq)
 
 
@@ -445,10 +446,11 @@ class SAQ(BaseQuantizer):
         plan, params = self.plan, self.params
         return lambda ct: decode(plan, params, ct)
 
-    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=2048, use_bf16=True):
+    def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
+                  use_bf16=True, approx=False):
         return scan_topk(
             self.plan, self.params, queries, codes, k, metric,
-            norms=norms, tile_rows=tile_rows, use_bf16=use_bf16,
+            norms=norms, tile_rows=tile_rows, use_bf16=use_bf16, approx=approx,
         )
 
     def code_bytes_per_vector(self) -> float:
