@@ -115,6 +115,23 @@ def cmd_ivf_bench(args) -> int:
     return 0
 
 
+def cmd_study(args) -> int:
+    from vq_tpu.bench.study import StudyConfig, load_study_config, run_study
+
+    if args.config:
+        cfg = load_study_config(args.config)
+        if args.plot:
+            cfg.plot = True
+    else:
+        cfg = StudyConfig(
+            base_path=args.base, query_path=args.queries,
+            methods=args.methods, bpd=[float(b) for b in args.bpd.split(",")],
+            output_dir=args.output_dir, plot=args.plot,
+        )
+    run_study(cfg)
+    return 0
+
+
 def cmd_plot(args) -> int:
     from vq_tpu.viz.plot import plot
 
@@ -163,6 +180,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="ivf_bench_results.csv")
     p.set_defaults(fn=cmd_ivf_bench)
 
+    p = sub.add_parser("study", help="quantizer study: (method, bpd) grid -> CSV")
+    p.add_argument("--config", default=None, help="YAML StudyConfig")
+    p.add_argument("--base", default=None, help="base fvecs path")
+    p.add_argument("--queries", default=None, help="query fvecs path")
+    p.add_argument("--methods", nargs="+", default=["pq", "ours", "saq_paper"])
+    p.add_argument("--bpd", default="1,2,4")
+    p.add_argument("--output-dir", default="results")
+    p.add_argument("--plot", action="store_true")
+    p.set_defaults(fn=cmd_study)
+
     p = sub.add_parser("plot", help="render plots from the runs database")
     p.add_argument("--db-path", default=None)
     p.add_argument("--output-dir", default="plots")
@@ -172,7 +199,26 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeated CLI invocations skip the
+    20-60 s/kernel compile cost (dominant on the TPU tunnel)."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "VQ_XLA_CACHE", os.path.expanduser("~/.cache/vq_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
+    _enable_compilation_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -111,6 +111,17 @@ def fit(key: jax.Array, x: jax.Array, cfg: RankAwareConfig, sample_cap: int = 20
         for dd in range(d):
             b = int(bits[dd])
             cb[dd, : 1 << b] = levels[b] * scale[dd]
+    elif cfg.codebook == "exact":
+        # per-dim exact optimal 1-D k-means via the native D&C DP
+        # (reference's 'exact' engine codebooks, method_registry_saq.py:44-49)
+        from vq_tpu.native import codebook_exact
+
+        y = np.asarray(jnp.dot(xc, rotation, precision=jax.lax.Precision.HIGHEST))
+        for dd in range(d):
+            b = int(bits[dd])
+            if b:
+                cb[dd, : 1 << b] = codebook_exact(y[:, dd], 1 << b,
+                                                  sample_cap=16384, seed=cfg.seed)
     else:  # data-fit Lloyd per dim, grouped by bit width (one vmap per group)
         y = jnp.dot(xc, rotation, precision=jax.lax.Precision.HIGHEST)
         for b in sorted(set(int(b) for b in bits)):

@@ -96,28 +96,42 @@ def _pca(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def _uniform_caq_mse_table(
-    x_rot: jax.Array, max_bits: int, block_dims: int
+    x_rot: jax.Array, max_bits: int, block_dims: int, seed: int = 0
 ) -> np.ndarray:
-    """Empirical per-dim MSE at each bit width 0..max_bits using the CAQ base
-    quantizer (per-vector symmetric range, mid-rise) — the engine's
-    build_mse_table_for_allocation (quantization_plan.cpp:21-51) with the
-    uniform quantizer the encoder actually uses.  The per-vector range v_mx
-    is taken over each allocation BLOCK (matching the encoder's per-segment
-    scaling — a whole-row range would make low-variance blocks look useless
-    and wreck the greedy allocation).  → (D, max_bits+1)."""
+    """Empirical per-dim MSE at each bit width 0..max_bits under the CAQ
+    encoder the segments actually use — the engine's
+    build_mse_table_for_allocation (quantization_plan.cpp:21-51).
+
+    Models the full encoder per allocation block: seeded random rotation of
+    the block (segments are rotated before CAQ), per-vector per-block
+    symmetric range v_mx, mid-rise codes, AND the per-vector rescale factor
+    ‖o‖²/⟨o,ô⟩.  Without the rescale, 1-bit mid-rise is WORSE than zero
+    bits on scale-spread data (levels ±v_mx/2 overshoot every small
+    coordinate) and the marginal-gain greedy stops at 0 bits.
+    → (D, max_bits+1); only block sums feed the allocators.
+    """
     d = x_rot.shape[1]
+    rng = np.random.default_rng(seed)
     cols = []
     for st in range(0, d, block_dims):
         xb = x_rot[:, st : st + block_dims]
-        v_mx = jnp.maximum(jnp.max(jnp.abs(xb), axis=1, keepdims=True), 1e-20)
-        ou = xb / v_mx
-        out = [jnp.mean(xb * xb, axis=0)]  # b=0 → MSE = E[x²]
+        ln = xb.shape[1]
+        r = jnp.asarray(np.linalg.qr(rng.standard_normal((ln, ln)))[0], jnp.float32)
+        o = jnp.dot(xb, r, precision=jax.lax.Precision.HIGHEST)
+        v_mx = jnp.maximum(jnp.max(jnp.abs(o), axis=1, keepdims=True), 1e-20)
+        ou = o / v_mx
+        out = [jnp.mean(o * o, axis=0)]  # b=0 → MSE = E[x²]
         for b in range(1, max_bits + 1):
             delta = 2.0 / (1 << b)
             cmax = (1 << b) - 1
             codes = jnp.clip(jnp.floor((ou + 1.0) / delta), 0, cmax)
-            oa = ((codes + 0.5) * delta - 1.0) * v_mx
-            out.append(jnp.mean((xb - oa) ** 2, axis=0))
+            oau = (codes + 0.5) * delta - 1.0
+            ip = jnp.sum(ou * oau, axis=1)
+            l2 = jnp.sum(oau * oau, axis=1)
+            ousq = jnp.sum(ou * ou, axis=1)
+            rescale = jnp.where(jnp.abs(ip) > 1e-20, ousq / ip, 0.0)
+            oa = oau * rescale[:, None] * v_mx
+            out.append(jnp.mean((o - oa) ** 2, axis=0))
         cols.append(jnp.stack(out, axis=1))  # (block_len, max_bits+1)
     return np.asarray(jnp.concatenate(cols, axis=0))
 
@@ -207,9 +221,17 @@ def make_plan(
         b = max(1, min(cfg.max_bits, int(round(cfg.bits_per_dim))))
         bits = np.full(nb, b, dtype=np.int64)
     elif cfg.allocator == "dp":
-        bits = _allocate_dp(block_mse, block_lens, total_budget, cfg.max_bits)
+        from vq_tpu.native import allocate_dp_native
+
+        bits = allocate_dp_native(block_mse, block_lens, total_budget, cfg.max_bits)
+        if bits is None:
+            bits = _allocate_dp(block_mse, block_lens, total_budget, cfg.max_bits)
     else:
-        bits = _allocate_greedy(block_mse, block_lens, total_budget, cfg.max_bits)
+        from vq_tpu.native import allocate_greedy_native
+
+        bits = allocate_greedy_native(block_mse, block_lens, total_budget, cfg.max_bits)
+        if bits is None:
+            bits = _allocate_greedy(block_mse, block_lens, total_budget, cfg.max_bits)
 
     # merge adjacent equal-bit blocks into segments; drop 0-bit tails
     seg_starts: List[int] = []
@@ -255,7 +277,7 @@ def fit(
         variances = jnp.var(xs, axis=0)
 
     x_rot = jnp.dot(xs - mean, rot, precision=jax.lax.Precision.HIGHEST)
-    mse_table = _uniform_caq_mse_table(x_rot, cfg.max_bits, cfg.block_dims)
+    mse_table = _uniform_caq_mse_table(x_rot, cfg.max_bits, cfg.block_dims, cfg.seed)
     plan = make_plan(np.asarray(variances), mse_table, cfg)
 
     rng = np.random.default_rng(cfg.seed)
