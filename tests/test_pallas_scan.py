@@ -1,0 +1,51 @@
+"""Pallas fused-scan kernel logic, exercised in interpreter mode on CPU.
+
+The compiled path runs on real TPU (bench.py and the TPU CLI); interpret
+mode validates the kernel's decode/score math without hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.kernels.adc import decode_pq
+from vq_tpu.kernels.pallas_scan import pallas_scan_available, pq_score_all
+
+
+def _setup(n=1024, d=64, q=16, m=8, k=16, seed=0):
+    rng = np.random.default_rng(seed)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, k, (n, m)), jnp.uint8)
+    cb = jnp.asarray(rng.standard_normal((m, k, d // m)), jnp.float32)
+    return queries, codes, cb
+
+
+def test_pallas_l2_scores_match_reference():
+    queries, codes, cb = _setup()
+    s = pq_score_all(queries, codes, cb, tile=256, l2=True, interpret=True)
+    dec = decode_pq(cb, codes)
+    ip = jnp.dot(queries, dec.T)
+    ref = 2.0 * ip - jnp.sum(dec * dec, axis=-1)[None, :]
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref), rtol=2e-2, atol=2e-1)
+    # exact ranking agreement at bf16 precision
+    ti = np.asarray(jax.lax.top_k(s, 5)[1])
+    ri = np.asarray(jax.lax.top_k(ref, 5)[1])
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(ti, ri)])
+    assert agree > 0.9
+
+
+def test_pallas_ip_scores_match_reference():
+    queries, codes, cb = _setup(seed=1)
+    s = pq_score_all(queries, codes, cb, tile=256, l2=False, interpret=True)
+    dec = decode_pq(cb, codes)
+    ref = jnp.dot(queries, dec.T)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref), rtol=2e-2, atol=2e-1)
+
+
+def test_pallas_availability_gate():
+    # CPU backend → unavailable (compiled path requires TPU)
+    assert pallas_scan_available(64, 16, 16, 8, 8) is False
+    # VMEM budget rejection is independent of backend logic: a huge query
+    # batch would blow the 12 MB budget even on TPU
+    vmem_needed = 8192 * 4096 * 2
+    assert vmem_needed > 12 * 1024 * 1024  # sanity of the gate's math

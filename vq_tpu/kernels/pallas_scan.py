@@ -1,0 +1,121 @@
+"""Pallas TPU kernel: fused PQ decode + ADC scoring.
+
+The XLA scan path (kernels/adc.py) lowers decode (one-hot × codebook) and
+scoring (q·x̂ᵀ) as separate HLOs with a (T, D) bf16 decoded tile in between;
+at T=16384, D=1536 that intermediate is ~50 MB and cannot stay in VMEM, so
+it round-trips HBM between the two matmuls.  This kernel fuses them: per
+grid step a small corpus tile's codes are decoded into a VMEM scratch
+(one-hot built from a broadcasted iota compare, multiplied on the MXU) and
+scored against the resident queries immediately — HBM traffic per tile is
+the packed codes in and the (Q, T) scores out.
+
+This is the TPU analog of the reference's AVX-512 fastscan inner loop
+(external/saq/include/saq/fast_scan.h:73-110): where the CPU uses vpshufb
+16-way LUT shuffles, the MXU's native "gather" is a one-hot matmul
+(SURVEY.md §7.3).
+
+Emits the L2 maximize-form scores (2·q·x̂ − ‖x̂‖²) or raw inner products;
+masking/top-k stay in the caller (kernels/adc.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scan_kernel(q_ref, codes_ref, cb_ref, out_ref, dec_ref, *, num_sub, k_size,
+                 dsub, tile, l2: bool):
+    """One grid step: decode `tile` rows, score against all queries.
+
+    q_ref   (Q, D) bf16      — resident queries (rotated/unchanged)
+    codes_ref (tile, M) i32  — this tile's PQ codes
+    cb_ref  (M·K, dsub) bf16 — codebooks stacked over subquantizers
+    out_ref (Q, tile) f32    — maximize-form scores
+    dec_ref (tile, M·dsub) bf16 VMEM scratch — decoded tile
+    """
+    # decode: per subquantizer, one-hot(codes) @ codebook on the MXU
+    for m in range(num_sub):
+        idx = codes_ref[:, m]  # (tile,)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, k_size), 1)
+        onehot = (cols == idx[:, None]).astype(jnp.bfloat16)
+        dec_ref[:, m * dsub : (m + 1) * dsub] = jnp.dot(
+            onehot,
+            cb_ref[m * k_size : (m + 1) * k_size, :],
+            preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
+        ).astype(jnp.bfloat16)
+    dec = dec_ref[:]
+    ip = jnp.dot(q_ref[:], dec.T, preferred_element_type=jnp.float32)  # (Q, tile)
+    if l2:
+        dec_f32 = dec.astype(jnp.float32)
+        recon_sq = jnp.sum(dec_f32 * dec_f32, axis=-1)  # (tile,)
+        out_ref[:] = 2.0 * ip - recon_sq[None, :]
+    else:
+        out_ref[:] = ip
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "l2", "interpret")
+)
+def pq_score_all(
+    queries: jax.Array,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    tile: int = 512,
+    l2: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decode+score over the whole (padded) corpus → (Q, N) f32.
+
+    queries (Q, D) f32/bf16; codes (N, M) integer with N % tile == 0;
+    codebooks (M, K, dsub).  Returns maximize-form scores (2·q·x̂ − ‖x̂‖²
+    for l2=True, else q·x̂).
+    """
+    num_q, d = queries.shape
+    n, num_sub = codes.shape
+    _, k_size, dsub = codebooks.shape
+    assert n % tile == 0, (n, tile)
+
+    q = queries.astype(jnp.bfloat16)
+    cb = codebooks.astype(jnp.bfloat16).reshape(num_sub * k_size, dsub)
+    codes_i = codes.astype(jnp.int32)
+
+    kernel = functools.partial(
+        _scan_kernel, num_sub=num_sub, k_size=k_size, dsub=dsub, tile=tile, l2=l2
+    )
+    grid = (n // tile,)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_q, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((num_q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, num_sub), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_sub * k_size, dsub), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((num_q, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile, num_sub * dsub), jnp.bfloat16)],
+        interpret=interpret,
+    )(q, codes_i, cb)
+
+
+def pallas_scan_available(d: int, num_q: int, k_size: int, num_sub: int,
+                          dsub: int, tile: int = 512) -> bool:
+    """VMEM budget check: queries + codebooks + decode scratch + out tile."""
+    if jax.default_backend() != "tpu":
+        return False
+    vmem = (
+        num_q * d * 2  # queries bf16
+        + num_sub * k_size * dsub * 2  # codebooks bf16
+        + tile * num_sub * dsub * 2  # decode scratch
+        + num_q * tile * 4  # out tile
+        + tile * num_sub * 4  # codes tile
+    )
+    return vmem < 12 * 1024 * 1024
