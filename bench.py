@@ -97,6 +97,27 @@ def main() -> None:
     per_scan = best / reps
     qps = nq / per_scan
 
+    # encode throughput (north-star aux metric: encode vecs/sec), sustained
+    enc_reps = 3
+
+    @jax.jit
+    def enc_reps_fn(xd):
+        def body(i, acc):
+            c = pq_mod.encode(params, xd + acc * 0)
+            return acc + c[0, 0].astype(jnp.float32) * 1e-30
+        return jax.lax.fori_loop(0, enc_reps, body, jnp.float32(0))
+
+    float(enc_reps_fn(xd))
+    t0 = time.perf_counter()
+    float(enc_reps_fn(xd))
+    encode_vps = n / ((time.perf_counter() - t0) / enc_reps)
+
+    from vq_tpu.utils.profiling import ScanStats
+
+    stats = ScanStats(
+        num_rows=n, num_queries=nq, dim=d, code_bytes_per_row=16.0
+    ).report(per_scan)
+
     baseline_qps = 2.4e6 / n  # reference 1-core uniform-ADC rate / corpus size
     print(
         json.dumps(
@@ -109,6 +130,8 @@ def main() -> None:
                 "scan_wall_s": round(per_scan, 5),
                 "n": n,
                 "num_queries": nq,
+                "encode_vecs_per_s": round(encode_vps, 1),
+                "effective_tflops": round(stats["effective_tflops"], 2),
             }
         )
     )
