@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Quality-parity check against the reference's recorded demo results.
+
+The reference repo ships logs/benchmark_runs.db with 56 runs on its demo
+dataset — np.random.seed(42) gaussian, N=10000, D=1024, queries = first 100
+corpus rows (reference data/datasets.py:79-82,57-58).  That dataset is
+exactly reproducible offline, so this script regenerates it bit-for-bit,
+runs the same (method, config) grid through vq_tpu, and prints our
+recall@10/@100 next to the reference's recorded values — the
+apples-to-apples quality comparison BASELINE.md's Δ-parity target asks
+for, with no network access needed.
+
+Writes PARITY_RESULTS.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vq_tpu.core.config import (
+    KMeansConfig,
+    OPQConfig,
+    PQConfig,
+    RaBitQConfig,
+    SAQConfig,
+    SQConfig,
+    SearchConfig,
+)
+from vq_tpu.data.datasets import Dataset
+from vq_tpu.index.flat import FlatQuantizedIndex
+from vq_tpu.metrics.recall import recall_at_k
+
+# (label, quantizer factory, reference recall@10, reference recall@100)
+# reference values: logs/benchmark_runs.db demo runs (queried 2026-08-17)
+KM = KMeansConfig(iters=20)
+GRID = [
+    ("pq M=8 B=8",  lambda: _pq(8),  0.110, 0.0522),
+    ("pq M=16 B=8", lambda: _pq(16), 0.116, 0.0765),
+    ("pq M=32 B=8", lambda: _pq(32), 0.131, 0.1215),
+    ("opq M=8 B=8", lambda: _opq(8), 0.102, 0.0393),
+    ("opq M=16 B=8", lambda: _opq(16), 0.108, 0.0608),
+    ("sq 8-bit",    lambda: _sq(8),  0.984, 0.988),
+    ("rabitq 1-bit", lambda: _rabitq(1), 0.398, 0.4358),
+    ("saq 4-bit",   lambda: _saq(4.0), 0.794, 0.8323),
+    ("saq 8-bit",   lambda: _saq(8.0), 0.986, 0.989),
+]
+
+
+def _pq(m):
+    from vq_tpu.methods.pq import PQ
+
+    return PQ(PQConfig(num_subquantizers=m, num_bits=8, kmeans=KM))
+
+
+def _opq(m):
+    from vq_tpu.methods.opq import OPQ
+
+    return OPQ(OPQConfig(num_subquantizers=m, num_bits=8, opq_iters=10, kmeans=KM))
+
+
+def _sq(b):
+    from vq_tpu.methods.sq import SQ
+
+    return SQ(SQConfig(num_bits=b))
+
+
+def _rabitq(b):
+    from vq_tpu.methods.rabitq import RaBitQ
+
+    return RaBitQ(RaBitQConfig(num_bits=b))
+
+
+def _saq(bpd):
+    from vq_tpu.methods.saq import SAQ
+
+    return SAQ(SAQConfig(bits_per_dim=bpd))
+
+
+def main() -> int:
+    np.random.seed(42)  # the reference's exact demo data
+    vectors = np.random.randn(10000, 1024).astype(np.float32)
+    data = Dataset(
+        name="reference-demo", vectors=vectors, queries=vectors[:100], gt_k=100
+    )
+
+    rows = []
+    for label, make, ref10, ref100 in GRID:
+        idx = FlatQuantizedIndex(make(), SearchConfig()).fit(data.vectors)
+        ids = idx.search(data.queries, k=100)
+        r10 = recall_at_k(data.ground_truth, ids, 10)
+        r100 = recall_at_k(data.ground_truth, ids, 100)
+        rows.append((label, r10, ref10, r100, ref100))
+        print(
+            f"{label:<16} R@10 {r10:.3f} (ref {ref10:.3f}, Δ {r10-ref10:+.3f})  "
+            f"R@100 {r100:.3f} (ref {ref100:.4f}, Δ {r100-ref100:+.3f})",
+            flush=True,
+        )
+
+    out = ["# Quality parity vs reference demo results",
+           "",
+           "Same data as the reference's logs/benchmark_runs.db demo runs",
+           "(np.random.seed(42) gaussian, N=10000, D=1024, queries = first 100",
+           "rows; reference data/datasets.py:79-82).  Reference values are the",
+           "recorded CPU/faiss results; ours are the TPU engine.",
+           "",
+           "| config | vq_tpu R@10 | ref R@10 | Δ | vq_tpu R@100 | ref R@100 | Δ |",
+           "|---|---|---|---|---|---|---|"]
+    for label, r10, ref10, r100, ref100 in rows:
+        out.append(
+            f"| {label} | {r10:.3f} | {ref10:.3f} | {r10-ref10:+.3f} "
+            f"| {r100:.3f} | {ref100:.4f} | {r100-ref100:+.3f} |"
+        )
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PARITY_RESULTS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
