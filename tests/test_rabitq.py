@@ -56,17 +56,55 @@ def test_rabitq_unit_norm_preserved(gaussian_data):
     )
 
 
-def test_rabitq_scan_matches_exact_over_reconstructions(gaussian_data):
+def test_rabitq_scan_matches_unbiased_estimator(gaussian_data):
+    """The fused scan implements the paper's UNBIASED estimator — divide by
+    the alignment ⟨o,ō⟩ — not exact search over the (projection) decode.
+    Check it against a dense numpy implementation of the same formula."""
     x, q = gaussian_data
     rq = RaBitQ(RaBitQConfig(num_bits=4)).fit(x)
-    codes = jnp.asarray(rq.compress(x))
-    dec = rq.decompress(np.asarray(codes))
+    codes = rq.compress(x)
+    d = x.shape[1]
+    ib = packed_bytes(d, 4)
+
+    from vq_tpu.core.packing import bytes_to_f32, unpack_bits
+
+    idx = np.asarray(unpack_bits(jnp.asarray(codes[:, :ib]), 4, d))
+    s_hat = np.asarray(rq.params.levels)[idx]
+    nrm = np.asarray(bytes_to_f32(jnp.asarray(codes[:, ib : ib + 4])))
+    t = np.asarray(bytes_to_f32(jnp.asarray(codes[:, ib + 4 : ib + 8])))
+    P, c = np.asarray(rq.params.rotation), np.asarray(rq.params.centroid)
+    snorm = (s_hat * s_hat).sum(1)
+    alpha = nrm * np.sqrt(d) / np.maximum(t * snorm, 1e-12)
+    ip = alpha[None, :] * (q @ P @ s_hat.T) + (q @ c)[:, None]
+    xsq = nrm * nrm + 2.0 * alpha * (s_hat @ (c @ P)) + (c * c).sum()
+    d2 = (q * q).sum(1)[:, None] + xsq[None, :] - 2.0 * ip
+    ref_idx = np.argsort(d2, axis=1)[:, :10]
+    ref_scores = np.take_along_axis(d2, ref_idx, axis=1)
+
     s1, i1 = rq.scan_topk(
-        jnp.asarray(q), codes, 10, Metric.L2, tile_rows=512, use_bf16=False
+        jnp.asarray(q), jnp.asarray(codes), 10, Metric.L2, tile_rows=512,
+        use_bf16=False,
     )
-    s2, i2 = exact_topk(jnp.asarray(q), jnp.asarray(dec), k=10, metric=Metric.L2)
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(i1), ref_idx)
+    np.testing.assert_allclose(np.asarray(s1), ref_scores, rtol=1e-3, atol=1e-3)
+
+
+def test_rabitq_unbiased_beats_projection_recall(gaussian_data):
+    """Ranking by the unbiased estimator must recall true neighbors at least
+    as well as exact search over the projection reconstruction (the per-row
+    ⟨o,ō⟩² bias of the latter reorders neighbors)."""
+    x, q = gaussian_data
+    gt = np.asarray(exact_topk(jnp.asarray(q), jnp.asarray(x), k=10,
+                               metric=Metric.L2)[1])
+    rq = RaBitQ(RaBitQConfig(num_bits=1)).fit(x)
+    codes = rq.compress(x)
+    _, i_scan = rq.scan_topk(jnp.asarray(q), jnp.asarray(codes), 10, Metric.L2,
+                             use_bf16=False)
+    dec = rq.decompress(codes)
+    _, i_proj = exact_topk(jnp.asarray(q), jnp.asarray(dec), k=10, metric=Metric.L2)
+    r_scan = recall_at_k(gt, np.asarray(i_scan), 10)
+    r_proj = recall_at_k(gt, np.asarray(i_proj), 10)
+    assert r_scan >= r_proj - 0.01, (r_scan, r_proj)
 
 
 def test_rabitq_index_recall():
