@@ -36,21 +36,26 @@ def main() -> None:
     nq = int(os.environ.get("VQ_BENCH_Q", 1024))
     k = 10
 
-    rng = np.random.default_rng(0)
     # power-law spectrum mimicking text-embedding covariance decay; queries
     # are jittered corpus rows so GT neighbors are findable.  Note M=16 B=8
     # at D=1536 is 0.083 bits/dim (512x compression) — recall@10 is
     # intrinsically modest at this geometry on ANY data; the headline here
     # is the scan throughput at the north-star code shape.
-    sigma = (1.0 + np.arange(d)) ** -0.75
-    x = (rng.standard_normal((n, d)) * sigma).astype(np.float32)
-    q = (
-        x[rng.integers(0, n, nq)]
-        + 0.25 * sigma * rng.standard_normal((nq, d))
-    ).astype(np.float32)
+    # Data is generated ON DEVICE: at N=1M the corpus is 6.1 GB and the
+    # host<->TPU tunnel would spend minutes just transferring it.
+    sigma = jnp.asarray(((1.0 + np.arange(d)) ** -0.75).astype(np.float32))
+    kx, kq, kj = jax.random.split(jax.random.PRNGKey(0), 3)
 
-    xd = jnp.asarray(x)
-    qd = jnp.asarray(q)
+    @jax.jit
+    def gen_data():
+        x = jax.random.normal(kx, (n, d), dtype=jnp.float32) * sigma
+        qidx = jax.random.randint(kq, (nq,), 0, n)
+        q = x[qidx] + 0.25 * sigma * jax.random.normal(kj, (nq, d),
+                                                       dtype=jnp.float32)
+        return x, q
+
+    xd, qd = gen_data()
+    xd.block_until_ready()
 
     cfg = PQConfig(num_subquantizers=16, num_bits=8, kmeans=KMeansConfig(iters=20))
     params = pq_mod.fit(jax.random.PRNGKey(0), xd, cfg)

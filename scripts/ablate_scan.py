@@ -107,6 +107,15 @@ def main() -> None:
 
     results["scan_approx"] = timed(scan_approx_fn)
 
+    from vq_tpu.kernels.pallas_scan import pq_scan_topk_fused
+
+    def fused_fn(acc):
+        ts, ti = pq_scan_topk_fused(q + acc * 0, codes, cb, k=k, tile=tile,
+                                    l2=True)
+        return ts[0, 0] * 1e-30
+
+    results["fused_inkernel_topk"] = timed(fused_fn)
+
     flops = nq * n * d * 2 + n * 256 * d * 2  # score + one-hot decode
     print(f"\nN={n} D={d} Q={nq} tile={tile}")
     for name, t in results.items():

@@ -9,7 +9,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from vq_tpu.kernels.adc import decode_pq
-from vq_tpu.kernels.pallas_scan import pallas_scan_available, pq_score_all
+from vq_tpu.kernels.pallas_scan import (
+    pallas_scan_available,
+    pallas_topk_fused_available,
+    pq_scan_topk_fused,
+    pq_score_all,
+)
 
 
 def _setup(n=1024, d=64, q=16, m=8, k=16, seed=0):
@@ -40,6 +45,44 @@ def test_pallas_ip_scores_match_reference():
     dec = decode_pq(cb, codes)
     ref = jnp.dot(queries, dec.T)
     np.testing.assert_allclose(np.asarray(s), np.asarray(ref), rtol=2e-2, atol=2e-1)
+
+
+def test_pallas_fused_topk_matches_full_topk():
+    """The in-kernel running top-k must equal top-k over the full score
+    matrix — same scores, same indices, same tie order (lowest id first)."""
+    queries, codes, cb = _setup(n=1024, seed=2)
+    k = 7
+    ts, ti = pq_scan_topk_fused(queries, codes, cb, k=k, tile=256, l2=True,
+                                interpret=True)
+    s_full = pq_score_all(queries, codes, cb, tile=256, l2=True, interpret=True)
+    rs, ri = jax.lax.top_k(s_full, k)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(rs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+
+
+def test_pallas_fused_topk_limit_masks_rows():
+    queries, codes, cb = _setup(n=512, seed=3)
+    limit = 300
+    ts, ti = pq_scan_topk_fused(queries, codes, cb, k=5, tile=256, l2=True,
+                                limit=jnp.int32(limit), interpret=True)
+    assert np.all(np.asarray(ti) < limit)
+    s_full = pq_score_all(queries, codes, cb, tile=256, l2=True, interpret=True)
+    rs, ri = jax.lax.top_k(s_full[:, :limit], 5)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+
+
+def test_pallas_fused_topk_duplicate_rows_tie_to_lowest_id():
+    """Identical rows produce identical scores; the kernel must keep both
+    (ids are unique) and order ties by ascending id like lax.top_k."""
+    rng = np.random.default_rng(4)
+    row = rng.integers(0, 16, (1, 8))
+    codes = jnp.asarray(np.repeat(row, 512, axis=0), jnp.uint8)  # all identical
+    queries = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((8, 16, 8)), jnp.float32)
+    ts, ti = pq_scan_topk_fused(queries, codes, cb, k=6, tile=256, l2=True,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(ti), np.tile(np.arange(6), (4, 1)))
+    assert np.allclose(np.asarray(ts), np.asarray(ts)[:, :1])
 
 
 def test_pallas_availability_gate():

@@ -193,6 +193,33 @@ def scan_codes_topk(
         use_pallas = pallas_scan_available(
             queries.shape[1], num_q, kk, mdim, dsub, tile=512
         )
+
+    # Fully fused decode+score+top-k (kernels/pallas_scan.py
+    # pq_scan_topk_fused): the running top-k lives in VMEM scratch across
+    # grid steps, so the (Q, N) score matrix never touches HBM and the
+    # separate exact-TopK pass (~half the old scan time at N=100k)
+    # disappears.  Selection cost is linear in k, so route large-k requests
+    # to the two-pass path.
+    use_fused = False
+    if use_pallas and k <= 32 and n >= 512:
+        from vq_tpu.kernels.pallas_scan import pallas_topk_fused_available
+
+        use_fused = pallas_topk_fused_available(
+            queries.shape[1], num_q, kk, mdim, dsub, tile=512
+        )
+    if use_fused:
+        from vq_tpu.kernels.pallas_scan import pq_scan_topk_fused
+
+        q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+        n_pad512 = (-n) % 512
+        codes_512 = jnp.pad(codes, ((0, n_pad512), (0, 0)))
+        limit = n if num_valid is None else jnp.minimum(n, num_valid)
+        outs, outi = pq_scan_topk_fused(
+            queries, codes_512, codebooks, k=k, tile=512,
+            l2=(metric == Metric.L2), limit=limit,
+        )
+        return _finalize(outs, outi, metric, q_sq)
+
     if use_pallas:
         # one big tile when the (Q, tile) f32 score buffer fits the HBM
         # budget — a single top-k over all columns beats per-tile merges
@@ -332,15 +359,24 @@ def exact_topk(
     queries = queries.astype(jnp.float32)
     q_sq = jnp.sum(queries * queries, axis=-1)
 
-    n_pad = (-n) % tile
-    xp = jnp.pad(x.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    # No pad copy: a ragged tail would force jnp.pad to copy the whole f32
+    # corpus (12 GB transient at N=1M, D=1536).  Instead the last tile's
+    # slice start is clamped in-bounds (dynamic_slice clamps anyway; we
+    # clamp explicitly so column ids stay correct) and the rows it re-reads
+    # from the previous tile are masked out.
+    xp = x.astype(jnp.float32)
+    if n < tile:  # tiny corpora only
+        xp = jnp.pad(xp, ((0, tile - n), (0, 0)))
     norms_p = None
     if metric == Metric.NIP:
         nn = jnp.linalg.norm(x.astype(jnp.float32), axis=-1) if norms is None else norms
-        norms_p = jnp.pad(nn.astype(jnp.float32), (0, n_pad), constant_values=1.0)
+        norms_p = jnp.pad(
+            nn.astype(jnp.float32), (0, xp.shape[0] - n), constant_values=1.0
+        )
 
     def score_tile(start):
-        xt = jax.lax.dynamic_slice_in_dim(xp, start, tile, axis=0)
+        st = jnp.minimum(start, xp.shape[0] - tile)
+        xt = jax.lax.dynamic_slice_in_dim(xp, st, tile, axis=0)
         ip = jnp.dot(queries, xt.T, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
         if metric == Metric.L2:
@@ -348,8 +384,15 @@ def exact_topk(
         elif metric == Metric.IP:
             s = ip
         else:
-            nt = jax.lax.dynamic_slice_in_dim(norms_p, start, tile, axis=0)
+            nt = jax.lax.dynamic_slice_in_dim(norms_p, st, tile, axis=0)
             s = ip / jnp.maximum(nt, 1e-30)[None, :]
+        # realign so position j holds row id start+j (the contract
+        # _streaming_topk's `ti + start` assumes): the clamped slice holds
+        # ids st+j, so shift left by (start − st) and drop the re-read rows
+        s = jax.lax.dynamic_slice(
+            jnp.pad(s, ((0, 0), (0, tile)), constant_values=-jnp.inf),
+            (0, start - st), (num_q, tile),
+        )
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         limit = n if num_valid is None else jnp.minimum(n, num_valid)
         return jnp.where(col < limit, s, -jnp.inf)

@@ -106,6 +106,138 @@ def pq_score_all(
     )(q, codes_i, cb)
 
 
+_KPAD = 128  # output lane width; k ≤ _KPAD
+
+
+def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
+                      dec_ref, run_s_ref, run_i_ref, *, num_sub, k_size, dsub,
+                      tile, k, nb, l2: bool):
+    """One grid step: decode `tile` rows, score against all queries, and fold
+    the tile into a RUNNING exact top-k kept in VMEM scratch (iterative
+    max + first-index + mask on the VPU, overlapped with the next tile's MXU
+    matmuls).  The TPU grid is sequential, so scratch persists across steps;
+    only the final (Q, _KPAD) result is written to HBM at the last step —
+    the (Q, N) score buffer never exists anywhere.
+
+    limit_ref (1,) i32 SMEM     — rows with global id ≥ limit score -inf
+    run_s/run_i (Q, _KPAD) VMEM — running top-k scores / global row ids
+    outs/outi (Q, _KPAD) HBM    — final result (first k columns valid)
+    """
+    step = pl.program_id(0)
+    start = step * tile
+    num_q = q_ref.shape[0]
+
+    @pl.when(step == 0)
+    def _init():
+        run_s_ref[:] = jnp.full((num_q, _KPAD), -jnp.inf, dtype=jnp.float32)
+        run_i_ref[:] = jnp.zeros((num_q, _KPAD), dtype=jnp.int32)
+
+    for m in range(num_sub):
+        idx = codes_ref[:, m]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, k_size), 1)
+        onehot = (cols == idx[:, None]).astype(jnp.bfloat16)
+        dec_ref[:, m * dsub : (m + 1) * dsub] = jnp.dot(
+            onehot,
+            cb_ref[m * k_size : (m + 1) * k_size, :],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+    dec = dec_ref[:]
+    ip = jnp.dot(q_ref[:], dec.T, preferred_element_type=jnp.float32)
+    if l2:
+        dec_f32 = dec.astype(jnp.float32)
+        recon_sq = jnp.sum(dec_f32 * dec_f32, axis=-1)
+        s = 2.0 * ip - recon_sq[None, :]
+    else:
+        s = ip
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (num_q, tile), 1) + start
+    s = jnp.where(col_ids < limit_ref[0], s, -jnp.inf)
+
+    # fold tile into the running top-k: k rounds of extraction over the
+    # (tile ∪ running) candidate set.  Ties break to the lowest global id
+    # (matches lax.top_k).  Row ids are unique across the union, so masking
+    # the extracted id removes exactly one candidate.
+    cat_s = jnp.concatenate([s, run_s_ref[:]], axis=1)
+    cat_i = jnp.concatenate([col_ids, run_i_ref[:]], axis=1)
+    big = jnp.int32(2**31 - 1)
+    for j in range(k):
+        m = jnp.max(cat_s, axis=1)  # (Q,)
+        am = jnp.min(jnp.where(cat_s >= m[:, None], cat_i, big), axis=1)
+        am = jnp.where(m > -jnp.inf, am, 0)
+        run_s_ref[:, j] = m
+        run_i_ref[:, j] = am
+        # ids are unique across the tile ∪ running union, so matching the
+        # extracted id alone removes exactly one candidate
+        cat_s = jnp.where(cat_i == am[:, None], -jnp.inf, cat_s)
+
+    @pl.when(step == nb - 1)
+    def _emit():
+        outs_ref[:] = run_s_ref[:]
+        outi_ref[:] = run_i_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "l2", "interpret"))
+def pq_scan_topk_fused(
+    queries: jax.Array,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    k: int,
+    tile: int = 512,
+    l2: bool = True,
+    limit: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """Fully fused decode+score+top-k → ((Q, k) f32 maximize-form, (Q, k) i32).
+
+    Exact: every tile's candidates pass through the running top-k, which is
+    equivalent to top-k over the concatenation of all tiles.  HBM traffic is
+    the packed codes in and (Q, 128) out — the (Q, N) score matrix of the
+    two-pass path never exists.  `limit` (traced i32 scalar) masks padded /
+    invalid rows.
+    """
+    num_q, d = queries.shape
+    n, num_sub = codes.shape
+    _, k_size, dsub = codebooks.shape
+    assert n % tile == 0 and 0 < k <= min(_KPAD, tile), (n, tile, k)
+
+    q = queries.astype(jnp.bfloat16)
+    cb = codebooks.astype(jnp.bfloat16).reshape(num_sub * k_size, dsub)
+    codes_i = codes.astype(jnp.int32)
+    nb = n // tile
+    lim = jnp.full((1,), n if limit is None else limit, dtype=jnp.int32)
+
+    kernel = functools.partial(
+        _scan_topk_kernel, num_sub=num_sub, k_size=k_size, dsub=dsub,
+        tile=tile, k=k, nb=nb, l2=l2,
+    )
+    outs, outi = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_q, _KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((num_q, _KPAD), jnp.int32),
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, num_sub), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_sub * k_size, dsub), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((num_q, _KPAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_q, _KPAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, num_sub * dsub), jnp.bfloat16),
+            pltpu.VMEM((num_q, _KPAD), jnp.float32),
+            pltpu.VMEM((num_q, _KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lim, q, codes_i, cb)
+    return outs[:, :k], outi[:, :k]
+
+
 def pallas_scan_available(d: int, num_q: int, k_size: int, num_sub: int,
                           dsub: int, tile: int = 512) -> bool:
     """VMEM budget check: queries + codebooks + decode scratch + out tile."""
@@ -119,3 +251,22 @@ def pallas_scan_available(d: int, num_q: int, k_size: int, num_sub: int,
         + tile * num_sub * 4  # codes tile
     )
     return vmem < 12 * 1024 * 1024
+
+
+def pallas_topk_fused_available(d: int, num_q: int, k_size: int, num_sub: int,
+                                dsub: int, tile: int = 512) -> bool:
+    """VMEM budget for pq_scan_topk_fused: the (Q, tile) score tile and the
+    (Q, tile+_KPAD) candidate values replace the two-pass kernel's HBM out
+    block; measured headroom against the 16 MB scoped-vmem limit."""
+    if jax.default_backend() != "tpu":
+        return False
+    vmem = (
+        num_q * d * 2  # queries bf16
+        + num_sub * k_size * dsub * 2  # codebooks bf16
+        + tile * num_sub * dsub * 2  # decode scratch
+        + tile * num_sub * 4  # codes tile
+        + num_q * tile * 4  # score tile value
+        + num_q * (tile + _KPAD) * 8  # cat_s f32 + cat_i i32 values
+        + num_q * _KPAD * 8 * 2  # running top-k scratch + out blocks
+    )
+    return vmem < 15 * 1024 * 1024

@@ -19,7 +19,7 @@ import numpy as np
 
 from vq_tpu.core.config import PQConfig
 from vq_tpu.kernels.adc import decode_pq
-from vq_tpu.kernels.kmeans import assign_batched, kmeans_batched
+from vq_tpu.kernels.kmeans import kmeans_batched
 from vq_tpu.methods.base import BaseQuantizer
 
 
@@ -41,13 +41,37 @@ def fit(key: jax.Array, x: jax.Array, cfg: PQConfig) -> PQParams:
     return PQParams(codebooks=codebooks)
 
 
-def encode(params: PQParams, x: jax.Array) -> jax.Array:
-    """(N, D) → (N, M) integer codes (uint8 for B ≤ 8, else uint16)."""
-    m = params.codebooks.shape[0]
-    xs = _to_subspaces(jnp.asarray(x, dtype=jnp.float32), m)
-    codes = assign_batched(xs, params.codebooks).T  # (N, M)
-    dtype = jnp.uint8 if params.codebooks.shape[1] <= 256 else jnp.uint16
-    return codes.astype(dtype)
+def encode(params: PQParams, x: jax.Array, chunk: int = 65536) -> jax.Array:
+    """(N, D) → (N, M) integer codes (uint8 for B ≤ 8, else uint16).
+
+    Row-chunked so peak memory is O(chunk), not O(N): the old
+    full-corpus (M, N, dsub) transpose plus assign's pad copy tripled the
+    corpus footprint and OOM'd HBM at N=1M, D=1536.  Per chunk this is one
+    batched einsum (MXU) + argmin; ‖x_sub‖² is constant per (row, m) so
+    argmin only needs ‖cb‖² − 2·x_sub·cb."""
+    cb = params.codebooks  # (M, K, dsub)
+    m, kk, dsub = cb.shape
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n, d = x.shape
+    if d != m * dsub:
+        raise ValueError(f"dim {d} != M·dsub = {m}·{dsub}")
+    dtype = jnp.uint8 if kk <= 256 else jnp.uint16
+    c2 = jnp.sum(cb * cb, axis=-1)  # (M, K)
+
+    chunk = min(chunk, max(8, n))
+    n_pad = (-n) % chunk
+    xt = jnp.pad(x, ((0, n_pad), (0, 0))).reshape(-1, chunk, d)
+
+    def body(xc):
+        xs = xc.reshape(chunk, m, dsub)
+        ip = jnp.einsum(
+            "cmd,mkd->cmk", xs, cb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.argmin(c2[None, :, :] - 2.0 * ip, axis=-1).astype(dtype)
+
+    codes = jax.lax.map(body, xt).reshape(-1, m)
+    return codes[:n]
 
 
 def decode(params: PQParams, codes: jax.Array) -> jax.Array:
