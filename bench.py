@@ -102,20 +102,25 @@ def main() -> None:
     per_scan = best / reps
     qps = nq / per_scan
 
-    # encode throughput (north-star aux metric: encode vecs/sec), sustained
+    # encode throughput (north-star aux metric: encode vecs/sec), sustained.
+    # Measured on a ≤100k-row subset: throughput is per-row constant, and
+    # perturbing the full corpus per rep (xd + acc·0) doubles the corpus
+    # footprint inside the loop — OOM at N=1M.
     enc_reps = 3
+    n_enc = min(n, 100_000)
+    xe = xd[:n_enc]
 
     @jax.jit
-    def enc_reps_fn(xd):
+    def enc_reps_fn(xe):
         def body(i, acc):
-            c = pq_mod.encode(params, xd + acc * 0)
+            c = pq_mod.encode(params, xe + acc * 0)
             return acc + c[0, 0].astype(jnp.float32) * 1e-30
         return jax.lax.fori_loop(0, enc_reps, body, jnp.float32(0))
 
-    float(enc_reps_fn(xd))
+    float(enc_reps_fn(xe))
     t0 = time.perf_counter()
-    float(enc_reps_fn(xd))
-    encode_vps = n / ((time.perf_counter() - t0) / enc_reps)
+    float(enc_reps_fn(xe))
+    encode_vps = n_enc / ((time.perf_counter() - t0) / enc_reps)
 
     from vq_tpu.utils.profiling import ScanStats
 

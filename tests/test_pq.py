@@ -67,3 +67,39 @@ def test_pq_save_load_roundtrip(tmp_path, gaussian_data):
     pq.save(path)
     pq2 = PQ(_cfg(4, 4)).load(path)
     np.testing.assert_array_equal(pq2.compress(x[:50]), codes)
+
+
+def test_pq_encode_chunked_ragged_tail(gaussian_data):
+    """Multi-chunk encode with a ragged last chunk must equal single-chunk
+    encode (the clamped overlap-write path)."""
+    import jax.numpy as jnp
+
+    from vq_tpu.methods.pq import encode_chunked
+
+    x, _ = gaussian_data  # (2000, 64)
+    pq = PQ(_cfg(8, 8)).fit(x)
+    full = np.asarray(encode_chunked(pq.params.codebooks, jnp.asarray(x)))
+    ragged = np.asarray(
+        encode_chunked(pq.params.codebooks, jnp.asarray(x), chunk=256)
+    )  # 2000 = 7*256 + 208 → clamped tail
+    np.testing.assert_array_equal(full, ragged)
+
+
+def test_opq_encode_matches_rotation_then_pq(gaussian_data):
+    """OPQ's fused rotate+encode must equal rotating first and PQ-encoding
+    second, including with a ragged chunk split."""
+    import jax.numpy as jnp
+
+    from vq_tpu.methods.opq import OPQ, OPQConfig
+    from vq_tpu.methods.pq import encode_chunked
+
+    x, _ = gaussian_data
+    opq = OPQ(OPQConfig(num_subquantizers=8, num_bits=8, opq_iters=3,
+                        kmeans=KMeansConfig(iters=6))).fit(x)
+    xr = np.asarray(x) @ np.asarray(opq.params.rotation)
+    direct = np.asarray(encode_chunked(opq.params.codebooks, jnp.asarray(xr)))
+    fused = np.asarray(
+        encode_chunked(opq.params.codebooks, jnp.asarray(x),
+                       rotation=opq.params.rotation, chunk=512)
+    )
+    assert (direct == fused).mean() > 0.999  # fp assoc. may flip rare ties

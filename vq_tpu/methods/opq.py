@@ -96,12 +96,11 @@ def fit(key: jax.Array, x: jax.Array, cfg: OPQConfig, train_cap: int = 100_000) 
 
 
 def encode(params: OPQParams, x: jax.Array) -> jax.Array:
-    xr = jnp.dot(jnp.asarray(x, dtype=jnp.float32), params.rotation,
-                 precision=jax.lax.Precision.HIGHEST)
-    m = params.codebooks.shape[0]
-    codes = assign_batched(_to_subspaces(xr, m), params.codebooks).T
-    dtype = jnp.uint8 if params.codebooks.shape[1] <= 256 else jnp.uint16
-    return codes.astype(dtype)
+    """Rotation folded into the row-chunked subspace encode so peak memory
+    stays O(chunk) — see methods/pq.py encode_chunked."""
+    from vq_tpu.methods.pq import encode_chunked
+
+    return encode_chunked(params.codebooks, x, rotation=params.rotation)
 
 
 def decode(params: OPQParams, codes: jax.Array) -> jax.Array:

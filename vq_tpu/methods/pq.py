@@ -36,20 +36,35 @@ def _to_subspaces(x: jax.Array, m: int) -> jax.Array:
 
 
 def fit(key: jax.Array, x: jax.Array, cfg: PQConfig) -> PQParams:
-    xs = _to_subspaces(jnp.asarray(x, dtype=jnp.float32), cfg.num_subquantizers)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    # subsample rows BEFORE the (M, N, dsub) transpose: kmeans only trains
+    # on max_points_per_centroid·K rows anyway, and transposing the full
+    # corpus first doubles the corpus footprint (OOM at N=1M, D=1536)
+    cap = cfg.kmeans.max_points_per_centroid * cfg.codebook_size
+    if x.shape[0] > cap:
+        key_sub, key = jax.random.split(key)
+        idx = jax.random.choice(key_sub, x.shape[0], (cap,), replace=False)
+        x = x[idx]
+    xs = _to_subspaces(x, cfg.num_subquantizers)
     codebooks = kmeans_batched(key, xs, cfg.codebook_size, cfg.kmeans)
     return PQParams(codebooks=codebooks)
 
 
-def encode(params: PQParams, x: jax.Array, chunk: int = 65536) -> jax.Array:
-    """(N, D) → (N, M) integer codes (uint8 for B ≤ 8, else uint16).
+def encode_chunked(
+    codebooks: jax.Array,
+    x: jax.Array,
+    rotation: jax.Array | None = None,
+    chunk: int = 65536,
+) -> jax.Array:
+    """Subspace argmin encode, row-chunked: (N, D) → (N, M) integer codes.
 
-    Row-chunked so peak memory is O(chunk), not O(N): the old
-    full-corpus (M, N, dsub) transpose plus assign's pad copy tripled the
-    corpus footprint and OOM'd HBM at N=1M, D=1536.  Per chunk this is one
+    Peak memory is O(chunk), not O(N): a full-corpus (M, N, dsub)
+    transpose plus a pad copy tripled the corpus footprint and OOM'd HBM
+    at N=1M, D=1536.  Per chunk this is (optional rotation matmul +) one
     batched einsum (MXU) + argmin; ‖x_sub‖² is constant per (row, m) so
-    argmin only needs ‖cb‖² − 2·x_sub·cb."""
-    cb = params.codebooks  # (M, K, dsub)
+    argmin only needs ‖cb‖² − 2·x_sub·cb.  Shared by PQ and OPQ (which
+    passes its learned rotation)."""
+    cb = codebooks  # (M, K, dsub)
     m, kk, dsub = cb.shape
     x = jnp.asarray(x, dtype=jnp.float32)
     n, d = x.shape
@@ -59,10 +74,14 @@ def encode(params: PQParams, x: jax.Array, chunk: int = 65536) -> jax.Array:
     c2 = jnp.sum(cb * cb, axis=-1)  # (M, K)
 
     chunk = min(chunk, max(8, n))
-    n_pad = (-n) % chunk
-    xt = jnp.pad(x, ((0, n_pad), (0, 0))).reshape(-1, chunk, d)
+    if n < chunk:
+        x = jnp.pad(x, ((0, chunk - n), (0, 0)))  # tiny corpora only
+    nc = -(-n // chunk)
 
-    def body(xc):
+    def encode_one(xc):
+        if rotation is not None:
+            xc = jnp.dot(xc, rotation, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         xs = xc.reshape(chunk, m, dsub)
         ip = jnp.einsum(
             "cmd,mkd->cmk", xs, cb, preferred_element_type=jnp.float32,
@@ -70,8 +89,21 @@ def encode(params: PQParams, x: jax.Array, chunk: int = 65536) -> jax.Array:
         )
         return jnp.argmin(c2[None, :, :] - 2.0 * ip, axis=-1).astype(dtype)
 
-    codes = jax.lax.map(body, xt).reshape(-1, m)
-    return codes[:n]
+    # ragged tail: clamp the slice start and write codes back at the same
+    # clamped offset — the overlap rewrites identical values, and no padded
+    # copy of the corpus is ever made (jnp.pad would double the footprint)
+    def body(i, out):
+        st = jnp.minimum(i * chunk, x.shape[0] - chunk)
+        xc = jax.lax.dynamic_slice_in_dim(x, st, chunk, axis=0)
+        return jax.lax.dynamic_update_slice(out, encode_one(xc), (st, 0))
+
+    out = jnp.zeros((x.shape[0], m), dtype=dtype)
+    return jax.lax.fori_loop(0, nc, body, out)[:n]
+
+
+def encode(params: PQParams, x: jax.Array, chunk: int = 65536) -> jax.Array:
+    """(N, D) → (N, M) integer codes (uint8 for B ≤ 8, else uint16)."""
+    return encode_chunked(params.codebooks, x, chunk=chunk)
 
 
 def decode(params: PQParams, codes: jax.Array) -> jax.Array:

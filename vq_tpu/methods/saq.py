@@ -457,25 +457,30 @@ def scan_topk(
         norms_p = jnp.pad(norms.astype(jnp.float32), (0, n_pad), constant_values=1.0)
 
     def make_score_tile(seg_ids):
+        # one full-width matmul instead of one K=block_dims matmul per
+        # segment: Σ_s (qR)_s·ô_s = concat(qR) · concat(ô) since segments
+        # are disjoint — 64-wide K dims leave the MXU mostly idle
+        q_cat = jnp.concatenate([q_segs[s] for s in seg_ids], axis=1)
+        mean_cat = jnp.concatenate([mean_segs[s] for s in seg_ids])
+
         def score_tile(start):
             ct = jax.lax.dynamic_slice_in_dim(codes_p, start, tile, axis=0)
             parts = _split_row(plan, ct)
-            ip_res = jnp.zeros((num_q, tile), jnp.float32)  # q·(x̂−mean)
-            res_sq = jnp.zeros((tile,), jnp.float32)  # ‖x̂−mean‖²
-            md = jnp.zeros((tile,), jnp.float32)  # mean·r̂
+            o_parts = []
             for s in seg_ids:
                 packed, rescale, _nrm = parts[s]
                 ln, b = plan.seg_lens[s], plan.seg_bits[s]
                 idx = unpack_bits(packed, b, ln)
-                o_hat = caq_decode(idx, rescale, b)  # (T, len)
-                ip_res = ip_res + jnp.dot(
-                    q_segs[s], o_hat.astype(dt).T,
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-                if metric == Metric.L2:
-                    res_sq = res_sq + jnp.sum(o_hat * o_hat, axis=1)
-                    md = md + jnp.dot(o_hat, mean_segs[s],
-                                      precision=jax.lax.Precision.HIGHEST)
+                o_parts.append(caq_decode(idx, rescale, b))  # (T, len)
+            o_cat = jnp.concatenate(o_parts, axis=1)  # (T, Σ len)
+            ip_res = jnp.dot(
+                q_cat, o_cat.astype(dt).T,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            if metric == Metric.L2:
+                res_sq = jnp.sum(o_cat * o_cat, axis=1)  # ‖x̂−mean‖²
+                md = jnp.dot(o_cat, mean_cat,
+                             precision=jax.lax.Precision.HIGHEST)  # mean·r̂
             ip = ip_res + q_mean[:, None]
             if metric == Metric.L2:
                 # maximize 2q·x̂ − ‖x̂‖² with
@@ -510,22 +515,23 @@ def scan_topk(
     # ---- stage 2: exact rescore of the gathered candidates ---------------
     rows = codes_p[cand.reshape(-1)]  # (Q·k1, bytes)
     parts = _split_row(plan, rows)
-    ip_res = jnp.zeros((num_q, k1), jnp.float32)
-    res_sq = jnp.zeros((num_q, k1), jnp.float32)
-    md = jnp.zeros((num_q, k1), jnp.float32)
+    o_parts = []
     for s in all_segs:
         packed, rescale, _nrm = parts[s]
         ln, b = plan.seg_lens[s], plan.seg_bits[s]
         idx = unpack_bits(packed, b, ln)
-        o_hat = caq_decode(idx, rescale, b).reshape(num_q, k1, ln)
-        ip_res = ip_res + jnp.einsum(
-            "ql,qkl->qk", q_segs[s].astype(jnp.float32), o_hat,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        if metric == Metric.L2:
-            res_sq = res_sq + jnp.sum(o_hat * o_hat, axis=-1)
-            md = md + jnp.einsum("qkl,l->qk", o_hat, mean_segs[s],
-                                 precision=jax.lax.Precision.HIGHEST)
+        o_parts.append(caq_decode(idx, rescale, b))
+    o_cat = jnp.concatenate(o_parts, axis=1).reshape(num_q, k1, -1)
+    q_cat = jnp.concatenate([q_segs[s] for s in all_segs], axis=1)
+    mean_cat = jnp.concatenate([mean_segs[s] for s in all_segs])
+    ip_res = jnp.einsum(
+        "ql,qkl->qk", q_cat.astype(jnp.float32), o_cat,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == Metric.L2:
+        res_sq = jnp.sum(o_cat * o_cat, axis=-1)
+        md = jnp.einsum("qkl,l->qk", o_cat, mean_cat,
+                        precision=jax.lax.Precision.HIGHEST)
     ip = ip_res + q_mean[:, None]
     if metric == Metric.L2:
         s_val = 2.0 * ip - (mean_sq + 2.0 * md + res_sq)
