@@ -85,6 +85,28 @@ def test_pallas_fused_topk_duplicate_rows_tie_to_lowest_id():
     assert np.allclose(np.asarray(ts), np.asarray(ts)[:, :1])
 
 
+def test_pallas_grouped_decode_matches_group1():
+    """group>1 fuses g subquantizers into one block-diagonal matmul; the
+    scores must be bit-identical to the per-subquantizer decode."""
+    queries, codes, cb = _setup(n=1024, seed=5)
+    base = pq_score_all(queries, codes, cb, tile=256, l2=True, interpret=True)
+    for g in (2, 4):
+        s = pq_score_all(queries, codes, cb, tile=256, l2=True, interpret=True,
+                         group=g)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(base))
+    # fused top-k path too
+    ts1, ti1 = pq_scan_topk_fused(queries, codes, cb, k=5, tile=256, l2=True,
+                                  interpret=True)
+    ts4, ti4 = pq_scan_topk_fused(queries, codes, cb, k=5, tile=256, l2=True,
+                                  interpret=True, group=4)
+    np.testing.assert_array_equal(np.asarray(ti1), np.asarray(ti4))
+    np.testing.assert_array_equal(np.asarray(ts1), np.asarray(ts4))
+    # non-divisible group falls back to group=1 silently
+    s = pq_score_all(queries, codes, cb, tile=256, l2=True, interpret=True,
+                     group=3)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(base))
+
+
 def test_pallas_availability_gate():
     # CPU backend → unavailable (compiled path requires TPU)
     assert pallas_scan_available(64, 16, 16, 8, 8) is False

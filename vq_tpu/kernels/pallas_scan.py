@@ -29,26 +29,77 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _decode_tile(codes_ref, cb_ref, dec_ref, *, num_sub, k_size, dsub, tile,
+                 group):
+    """Decode one tile of PQ codes into dec_ref via one-hot × codebook.
+
+    group=1: one (tile, K)@(K, dsub) matmul per subquantizer — minimal
+    FLOPs, but M small matmuls pay M MXU pipeline fills.  group=g>1: g
+    subquantizers share one (tile, g·K)@(g·K, g·dsub) matmul against a
+    block-diagonal codebook — g× the FLOPs but 1/g the matmul count, which
+    wins while the small matmuls are overhead-bound.  cb_ref layout depends
+    on group: (M·K, dsub) for group=1, (M·K, g·dsub) block-diagonal
+    (built by _stack_codebooks) otherwise.
+    """
+    if group == 1:
+        for m in range(num_sub):
+            idx = codes_ref[:, m]  # (tile,)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile, k_size), 1)
+            onehot = (cols == idx[:, None]).astype(jnp.bfloat16)
+            dec_ref[:, m * dsub : (m + 1) * dsub] = jnp.dot(
+                onehot,
+                cb_ref[m * k_size : (m + 1) * k_size, :],
+                preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
+            ).astype(jnp.bfloat16)
+        return
+    gk = group * k_size
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, gk), 1)
+    modk = cols % k_size
+    divk = cols // k_size
+    for g0 in range(0, num_sub, group):
+        # concatenated one-hot over the group's flattened (m_local, code)
+        oh = jnp.zeros((tile, gk), dtype=jnp.bool_)
+        for ml in range(group):
+            oh = oh | ((divk == ml) & (modk == codes_ref[:, g0 + ml][:, None]))
+        dec_ref[:, g0 * dsub : (g0 + group) * dsub] = jnp.dot(
+            oh.astype(jnp.bfloat16),
+            cb_ref[g0 * k_size : (g0 + group) * k_size, :],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+
+def _stack_codebooks(codebooks: jax.Array, group: int) -> jax.Array:
+    """(M, K, dsub) → the cb_ref layout _decode_tile expects (bf16)."""
+    num_sub, k_size, dsub = codebooks.shape
+    cb = codebooks.astype(jnp.bfloat16)
+    if group == 1:
+        return cb.reshape(num_sub * k_size, dsub)
+    assert num_sub % group == 0, (num_sub, group)
+    # block-diagonal within each group: row (g0+ml)·K+j holds cb[g0+ml, j]
+    # in columns [ml·dsub, (ml+1)·dsub)
+    blocks = []
+    for g0 in range(0, num_sub, group):
+        bd = jnp.zeros((group * k_size, group * dsub), dtype=jnp.bfloat16)
+        for ml in range(group):
+            bd = jax.lax.dynamic_update_slice(
+                bd, cb[g0 + ml], (ml * k_size, ml * dsub)
+            )
+        blocks.append(bd)
+    return jnp.concatenate(blocks, axis=0)  # (M·K, group·dsub)
+
+
 def _scan_kernel(q_ref, codes_ref, cb_ref, out_ref, dec_ref, *, num_sub, k_size,
-                 dsub, tile, l2: bool):
+                 dsub, tile, l2: bool, group: int = 1):
     """One grid step: decode `tile` rows, score against all queries.
 
     q_ref   (Q, D) bf16      — resident queries (rotated/unchanged)
     codes_ref (tile, M) i32  — this tile's PQ codes
-    cb_ref  (M·K, dsub) bf16 — codebooks stacked over subquantizers
+    cb_ref  stacked codebooks bf16 (see _decode_tile)
     out_ref (Q, tile) f32    — maximize-form scores
     dec_ref (tile, M·dsub) bf16 VMEM scratch — decoded tile
     """
-    # decode: per subquantizer, one-hot(codes) @ codebook on the MXU
-    for m in range(num_sub):
-        idx = codes_ref[:, m]  # (tile,)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, k_size), 1)
-        onehot = (cols == idx[:, None]).astype(jnp.bfloat16)
-        dec_ref[:, m * dsub : (m + 1) * dsub] = jnp.dot(
-            onehot,
-            cb_ref[m * k_size : (m + 1) * k_size, :],
-            preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
-        ).astype(jnp.bfloat16)
+    _decode_tile(codes_ref, cb_ref, dec_ref, num_sub=num_sub, k_size=k_size,
+                 dsub=dsub, tile=tile, group=group)
     dec = dec_ref[:]
     ip = jnp.dot(q_ref[:], dec.T, preferred_element_type=jnp.float32)  # (Q, tile)
     if l2:
@@ -60,7 +111,7 @@ def _scan_kernel(q_ref, codes_ref, cb_ref, out_ref, dec_ref, *, num_sub, k_size,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "l2", "interpret")
+    jax.jit, static_argnames=("tile", "l2", "interpret", "group")
 )
 def pq_score_all(
     queries: jax.Array,
@@ -69,6 +120,7 @@ def pq_score_all(
     tile: int = 512,
     l2: bool = True,
     interpret: bool = False,
+    group: int = 1,
 ) -> jax.Array:
     """Fused decode+score over the whole (padded) corpus → (Q, N) f32.
 
@@ -81,12 +133,15 @@ def pq_score_all(
     _, k_size, dsub = codebooks.shape
     assert n % tile == 0, (n, tile)
 
+    if num_sub % group != 0:
+        group = 1
     q = queries.astype(jnp.bfloat16)
-    cb = codebooks.astype(jnp.bfloat16).reshape(num_sub * k_size, dsub)
+    cb = _stack_codebooks(codebooks, group)
     codes_i = codes.astype(jnp.int32)
 
     kernel = functools.partial(
-        _scan_kernel, num_sub=num_sub, k_size=k_size, dsub=dsub, tile=tile, l2=l2
+        _scan_kernel, num_sub=num_sub, k_size=k_size, dsub=dsub, tile=tile,
+        l2=l2, group=group,
     )
     grid = (n // tile,)
     return pl.pallas_call(
@@ -97,7 +152,8 @@ def pq_score_all(
             pl.BlockSpec((num_q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, num_sub), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (num_sub * k_size, dsub), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (num_sub * k_size, group * dsub), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec((num_q, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -111,7 +167,7 @@ _KPAD = 128  # output lane width; k ≤ _KPAD
 
 def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
                       dec_ref, run_s_ref, run_i_ref, *, num_sub, k_size, dsub,
-                      tile, k, nb, l2: bool):
+                      tile, k, nb, l2: bool, group: int = 1):
     """One grid step: decode `tile` rows, score against all queries, and fold
     the tile into a RUNNING exact top-k kept in VMEM scratch (iterative
     max + first-index + mask on the VPU, overlapped with the next tile's MXU
@@ -132,15 +188,8 @@ def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
         run_s_ref[:] = jnp.full((num_q, _KPAD), -jnp.inf, dtype=jnp.float32)
         run_i_ref[:] = jnp.zeros((num_q, _KPAD), dtype=jnp.int32)
 
-    for m in range(num_sub):
-        idx = codes_ref[:, m]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, k_size), 1)
-        onehot = (cols == idx[:, None]).astype(jnp.bfloat16)
-        dec_ref[:, m * dsub : (m + 1) * dsub] = jnp.dot(
-            onehot,
-            cb_ref[m * k_size : (m + 1) * k_size, :],
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+    _decode_tile(codes_ref, cb_ref, dec_ref, num_sub=num_sub, k_size=k_size,
+                 dsub=dsub, tile=tile, group=group)
     dec = dec_ref[:]
     ip = jnp.dot(q_ref[:], dec.T, preferred_element_type=jnp.float32)
     if l2:
@@ -175,7 +224,8 @@ def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
         outi_ref[:] = run_i_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "l2", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "l2", "interpret",
+                                              "group"))
 def pq_scan_topk_fused(
     queries: jax.Array,
     codes: jax.Array,
@@ -185,6 +235,7 @@ def pq_scan_topk_fused(
     l2: bool = True,
     limit: Optional[jax.Array] = None,
     interpret: bool = False,
+    group: int = 1,
 ):
     """Fully fused decode+score+top-k → ((Q, k) f32 maximize-form, (Q, k) i32).
 
@@ -199,15 +250,17 @@ def pq_scan_topk_fused(
     _, k_size, dsub = codebooks.shape
     assert n % tile == 0 and 0 < k <= min(_KPAD, tile), (n, tile, k)
 
+    if num_sub % group != 0:
+        group = 1
     q = queries.astype(jnp.bfloat16)
-    cb = codebooks.astype(jnp.bfloat16).reshape(num_sub * k_size, dsub)
+    cb = _stack_codebooks(codebooks, group)
     codes_i = codes.astype(jnp.int32)
     nb = n // tile
     lim = jnp.full((1,), n if limit is None else limit, dtype=jnp.int32)
 
     kernel = functools.partial(
         _scan_topk_kernel, num_sub=num_sub, k_size=k_size, dsub=dsub,
-        tile=tile, k=k, nb=nb, l2=l2,
+        tile=tile, k=k, nb=nb, l2=l2, group=group,
     )
     outs, outi = pl.pallas_call(
         kernel,
@@ -221,7 +274,8 @@ def pq_scan_topk_fused(
             pl.BlockSpec((num_q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, num_sub), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (num_sub * k_size, dsub), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (num_sub * k_size, group * dsub), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
