@@ -40,11 +40,23 @@ def bpd_to_pq_m(bits_per_dim: float, d: int, b: int = 8) -> int:
     return largest_divisor_leq(d, m_target)
 
 
+def _check_consumed(method: str, kw: Dict) -> None:
+    """Reject unrecognized kwargs instead of silently dropping them — a
+    dropped `codebook`/`packing` made two study variants silently identical
+    in round 1 (VERDICT weak #4)."""
+    if kw:
+        raise TypeError(
+            f"method {method!r} got unknown kwargs {sorted(kw)}; check the "
+            "spelling against build_quantizer's per-method options"
+        )
+
+
 def build_quantizer(method: str, dim: int, **kw) -> BaseQuantizer:
     """Construct a quantizer by name.
 
     Common kwargs: M / B (PQ, OPQ), bits (SQ, RaBitQ, LVQ), bpd + allocator
-    (SAQ, RankAware), kmeans_iters, seed.
+    + codebook (SAQ), bpd + alpha + codebook + packing (RankAware),
+    kmeans_iters, seed.  Unknown kwargs raise TypeError.
     """
     method = method.lower()
     iters = kw.pop("kmeans_iters", 20)
@@ -52,27 +64,34 @@ def build_quantizer(method: str, dim: int, **kw) -> BaseQuantizer:
     km = KMeansConfig(iters=iters, seed=seed)
 
     if method == "pq":
-        m = kw.pop("M", None) or bpd_to_pq_m(kw.pop("bpd", 1.0), dim, kw.get("B", 8))
         b = kw.pop("B", 8)
+        m = kw.pop("M", None) or bpd_to_pq_m(kw.pop("bpd", 1.0), dim, b)
+        kw.pop("bpd", None)  # M wins when both are given
+        _check_consumed(method, kw)
         from vq_tpu.methods.pq import PQ
 
         return PQ(PQConfig(num_subquantizers=m, num_bits=b, kmeans=km), seed=seed)
 
     if method == "sq":
+        bits = kw.pop("bits", kw.pop("B", 8))
+        _check_consumed(method, kw)
         from vq_tpu.methods.sq import SQ
 
-        return SQ(SQConfig(num_bits=kw.pop("bits", kw.pop("B", 8))))
+        return SQ(SQConfig(num_bits=bits))
 
     if method == "opq":
-        m = kw.pop("M", None) or bpd_to_pq_m(kw.pop("bpd", 1.0), dim, kw.get("B", 8))
         b = kw.pop("B", 8)
+        m = kw.pop("M", None) or bpd_to_pq_m(kw.pop("bpd", 1.0), dim, b)
+        kw.pop("bpd", None)
+        opq_iters = kw.pop("opq_iters", 10)
+        _check_consumed(method, kw)
         from vq_tpu.methods.opq import OPQ
 
         return OPQ(
             OPQConfig(
                 num_subquantizers=m,
                 num_bits=b,
-                opq_iters=kw.pop("opq_iters", 10),
+                opq_iters=opq_iters,
                 kmeans=km,
             ),
             seed=seed,
@@ -80,38 +99,44 @@ def build_quantizer(method: str, dim: int, **kw) -> BaseQuantizer:
 
     if method in ("rabitq", "extended_rabitq", "xrabitq"):
         bits = kw.pop("bits", kw.pop("B", 1 if method == "rabitq" else 4))
+        _check_consumed(method, kw)
         from vq_tpu.methods.rabitq import RaBitQ
 
         return RaBitQ(RaBitQConfig(num_bits=bits, seed=seed))
 
     if method in ("saq", "saq_paper", "ours", "caq"):
+        cfg = SAQConfig(
+            bits_per_dim=kw.pop("bpd", 4.0),
+            allocator=kw.pop("allocator", "greedy"),
+            use_pca=kw.pop("use_pca", True),
+            caq_rounds=kw.pop("caq_rounds", 6),
+            codebook=kw.pop("codebook", "uniform"),
+            seed=seed,
+        )
+        _check_consumed(method, kw)
         from vq_tpu.methods.saq import SAQ
 
-        return SAQ(
-            SAQConfig(
-                bits_per_dim=kw.pop("bpd", 4.0),
-                allocator=kw.pop("allocator", "greedy"),
-                use_pca=kw.pop("use_pca", True),
-                caq_rounds=kw.pop("caq_rounds", 6),
-                seed=seed,
-            )
-        )
+        return SAQ(cfg)
 
     if method == "lvq":
+        bits = kw.pop("bits", kw.pop("B", 8))
+        _check_consumed(method, kw)
         from vq_tpu.methods.lvq import LVQ
 
-        return LVQ(LVQConfig(num_bits=kw.pop("bits", kw.pop("B", 8))))
+        return LVQ(LVQConfig(num_bits=bits))
 
     if method in ("rankaware", "perdim_mse"):
+        cfg = RankAwareConfig(
+            bits_per_dim=kw.pop("bpd", 4.0),
+            alpha=kw.pop("alpha", 0.5 if method == "rankaware" else 0.0),
+            codebook=kw.pop("codebook", "lloyd"),
+            packing=kw.pop("packing", "dense"),
+            seed=seed,
+        )
+        _check_consumed(method, kw)
         from vq_tpu.methods.rankaware import RankAware
 
-        return RankAware(
-            RankAwareConfig(
-                bits_per_dim=kw.pop("bpd", 4.0),
-                alpha=kw.pop("alpha", 0.5 if method == "rankaware" else 0.0),
-                seed=seed,
-            )
-        )
+        return RankAware(cfg)
 
     raise ValueError(f"unknown method {method!r}; known: {ALL_METHODS}")
 

@@ -38,19 +38,32 @@ from vq_tpu.metrics.recall import recall_at_ks
 NORM_SIDECHANNEL_BYTES = 4  # reference quantizer_adapters.py:17
 
 # study method aliases → registry method + params
-# (reference method_registry_saq.py:20-74's nine study methods)
+# (reference method_registry_saq.py:20-74's study methods: saq_paper =
+# CAQ + DP + uniform grid; ours = CAQ + greedy + derived Lloyd codebooks;
+# ours_exact = ours with exact-DP codebooks; rankaware family defaults to
+# Lloyd codebooks + FFD packing, *_exact variants use the optimal-DP
+# codebook)
 STUDY_METHODS: Dict[str, Tuple[str, Dict]] = {
     "pq": ("pq", {}),
     "opq": ("opq", {}),
     "sq": ("sq", {}),
     "rabitq": ("extended_rabitq", {}),
     "lvq": ("lvq", {}),
-    "saq_paper": ("saq", {"allocator": "dp"}),
-    "ours": ("saq", {"allocator": "greedy"}),
-    "ours_exact": ("saq", {"allocator": "dp"}),
-    "rankaware": ("rankaware", {"alpha": 0.5}),
-    "perdim_mse": ("rankaware", {"alpha": 0.0}),
-    "perdim_mse_exact": ("rankaware", {"alpha": 0.0, "codebook": "lloyd"}),
+    "saq_paper": ("saq", {"allocator": "dp", "codebook": "uniform"}),
+    "ours": ("saq", {"allocator": "greedy", "codebook": "lloyd"}),
+    "ours_exact": ("saq", {"allocator": "greedy", "codebook": "exact"}),
+    "rankaware": (
+        "rankaware", {"alpha": 0.5, "codebook": "lloyd", "packing": "ffd"}
+    ),
+    "perdim_mse": (
+        "rankaware", {"alpha": 0.0, "codebook": "lloyd", "packing": "ffd"}
+    ),
+    "rankaware_exact": (
+        "rankaware", {"alpha": 0.5, "codebook": "exact", "packing": "ffd"}
+    ),
+    "perdim_mse_exact": (
+        "rankaware", {"alpha": 0.0, "codebook": "exact", "packing": "ffd"}
+    ),
 }
 
 

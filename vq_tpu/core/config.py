@@ -42,9 +42,7 @@ class KMeansConfig:
     seed: int = 0
     # Cap on training points per centroid, faiss-style subsampling.
     max_points_per_centroid: int = 256
-    init: str = "kmeanspp"  # "kmeanspp" | "random"
-    # kmeans++ candidate pool size per step (0 = full D2 sampling).
-    batched_pp_candidates: int = 8
+    init: str = "kmeanspp"  # "kmeanspp" | "random" (full-D² Gumbel-max seeding)
 
 
 @dataclass(frozen=True)
@@ -123,6 +121,13 @@ class SAQConfig:
     max_bits: int = 8  # per-dim bit cap (reference KMaxQuantizeBits=13; 8 keeps uint8 codes)
     caq_rounds: int = 6  # code-adjustment round limit (caq_encoder.h round limit 6)
     use_pca: bool = True
+    # Base quantization grid per segment dim: "uniform" = the CAQ mid-rise
+    # grid (engine derive_codebooks=false); "lloyd" = data-fit per-dim Lloyd
+    # levels (derive_codebooks=true, the study's "ours"); "exact" = optimal
+    # 1-D k-means levels via the native D&C DP (exact_codebooks=true,
+    # "ours_exact").  Reference method_registry_saq.py:27-45,
+    # ivf_index.cpp:55-117.
+    codebook: str = "uniform"
     seed: int = 0
 
 

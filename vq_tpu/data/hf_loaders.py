@@ -62,11 +62,13 @@ def load_dbpedia_openai(
     reference data/dbpedia_loader.py:24-160)."""
     datasets = _require_datasets()
     name = (
-        "KShivendu/dbpedia-entities-openai-1M"
-        if dim == 1536
-        else "Qdrant/dbpedia-entities-openai3-text-embedding-3-large-3072-1M"
+        "Qdrant/dbpedia-entities-openai3-text-embedding-3-large-3072-1M"
+        if dim == 3072
+        else "KShivendu/dbpedia-entities-openai-1M"
     )
-    field = "openai" if dim == 1536 else "text-embedding-3-large-3072-embedding"
+    field = (
+        "text-embedding-3-large-3072-embedding" if dim == 3072 else "openai"
+    )
     ds = datasets.load_dataset(name, split=split, streaming=True)
     vectors = _stream_to_array(iter(ds), field, num_rows + num_queries, dim)
     return Dataset(

@@ -133,8 +133,7 @@ def pq_score_all(
     _, k_size, dsub = codebooks.shape
     assert n % tile == 0, (n, tile)
 
-    if num_sub % group != 0:
-        group = 1
+    group = _validate_group(group, num_sub)
     q = queries.astype(jnp.bfloat16)
     cb = _stack_codebooks(codebooks, group)
     codes_i = codes.astype(jnp.int32)
@@ -163,6 +162,29 @@ def pq_score_all(
 
 
 _KPAD = 128  # output lane width; k ≤ _KPAD
+
+
+def fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k):
+    """Fold a (Q, T) score tile into the running (Q, _KPAD) top-k scratch.
+
+    k rounds of max-extraction over the (tile ∪ running) candidate set; ties
+    break to the lowest global id (matches lax.top_k).  Pure dataflow — no
+    data-dependent control — so Mosaic software-pipelines it behind the next
+    tile's MXU matmuls (see BENCH_NOTES.md "measured dead ends").  Shared by
+    the PQ one-hot kernel and the packed-code kernel (pallas_packed.py).
+    """
+    cat_s = jnp.concatenate([s, run_s_ref[:]], axis=1)
+    cat_i = jnp.concatenate([col_ids, run_i_ref[:]], axis=1)
+    big = jnp.int32(2**31 - 1)
+    for j in range(k):
+        m = jnp.max(cat_s, axis=1)  # (Q,)
+        am = jnp.min(jnp.where(cat_s >= m[:, None], cat_i, big), axis=1)
+        am = jnp.where(m > -jnp.inf, am, 0)
+        run_s_ref[:, j] = m
+        run_i_ref[:, j] = am
+        # ids are unique across the tile ∪ running union, so matching the
+        # extracted id alone removes exactly one candidate
+        cat_s = jnp.where(cat_i == am[:, None], -jnp.inf, cat_s)
 
 
 def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
@@ -201,22 +223,7 @@ def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (num_q, tile), 1) + start
     s = jnp.where(col_ids < limit_ref[0], s, -jnp.inf)
 
-    # fold tile into the running top-k: k rounds of extraction over the
-    # (tile ∪ running) candidate set.  Ties break to the lowest global id
-    # (matches lax.top_k).  Row ids are unique across the union, so masking
-    # the extracted id removes exactly one candidate.
-    cat_s = jnp.concatenate([s, run_s_ref[:]], axis=1)
-    cat_i = jnp.concatenate([col_ids, run_i_ref[:]], axis=1)
-    big = jnp.int32(2**31 - 1)
-    for j in range(k):
-        m = jnp.max(cat_s, axis=1)  # (Q,)
-        am = jnp.min(jnp.where(cat_s >= m[:, None], cat_i, big), axis=1)
-        am = jnp.where(m > -jnp.inf, am, 0)
-        run_s_ref[:, j] = m
-        run_i_ref[:, j] = am
-        # ids are unique across the tile ∪ running union, so matching the
-        # extracted id alone removes exactly one candidate
-        cat_s = jnp.where(cat_i == am[:, None], -jnp.inf, cat_s)
+    fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
 
     @pl.when(step == nb - 1)
     def _emit():
@@ -250,8 +257,7 @@ def pq_scan_topk_fused(
     _, k_size, dsub = codebooks.shape
     assert n % tile == 0 and 0 < k <= min(_KPAD, tile), (n, tile, k)
 
-    if num_sub % group != 0:
-        group = 1
+    group = _validate_group(group, num_sub)
     q = queries.astype(jnp.bfloat16)
     cb = _stack_codebooks(codebooks, group)
     codes_i = codes.astype(jnp.int32)
@@ -292,15 +298,44 @@ def pq_scan_topk_fused(
     return outs[:, :k], outi[:, :k]
 
 
+def _validate_group(group: int, num_sub: int) -> int:
+    """Normalize the grouped-decode knob.  group must be a positive divisor
+    of num_sub; non-divisible values fall back to 1 WITH a warning so
+    ablation timings are never silently mislabeled (a tuned group=3 that
+    quietly ran as group=1 would corrupt the ablation table)."""
+    if group == 1:
+        return 1
+    if group < 1:
+        raise ValueError(f"group must be >= 1, got {group}")
+    if num_sub % group != 0:
+        import warnings
+
+        warnings.warn(
+            f"group={group} does not divide num_sub={num_sub}; "
+            "falling back to group=1",
+            stacklevel=3,
+        )
+        return 1
+    return group
+
+
 def pallas_scan_available(d: int, num_q: int, k_size: int, num_sub: int,
-                          dsub: int, tile: int = 512) -> bool:
-    """VMEM budget check: queries + codebooks + decode scratch + out tile."""
+                          dsub: int, tile: int = 512, group: int = 1) -> bool:
+    """VMEM budget check: queries + codebooks + decode scratch + out tile.
+
+    With group>1 the kernel loads a (num_sub*k_size, group*dsub)
+    block-diagonal codebook (group× larger) and builds a (tile, group*k_size)
+    one-hot intermediate — both scale with group, so the gate must too.
+    """
     if jax.default_backend() != "tpu":
         return False
+    if group > 1 and num_sub % group != 0:
+        group = 1
     vmem = (
         num_q * d * 2  # queries bf16
-        + num_sub * k_size * dsub * 2  # codebooks bf16
+        + num_sub * k_size * (group * dsub) * 2  # stacked codebooks bf16
         + tile * num_sub * dsub * 2  # decode scratch
+        + tile * (group * k_size) * 2  # one-hot intermediate bf16
         + num_q * tile * 4  # out tile
         + tile * num_sub * 4  # codes tile
     )
@@ -308,16 +343,20 @@ def pallas_scan_available(d: int, num_q: int, k_size: int, num_sub: int,
 
 
 def pallas_topk_fused_available(d: int, num_q: int, k_size: int, num_sub: int,
-                                dsub: int, tile: int = 512) -> bool:
+                                dsub: int, tile: int = 512,
+                                group: int = 1) -> bool:
     """VMEM budget for pq_scan_topk_fused: the (Q, tile) score tile and the
     (Q, tile+_KPAD) candidate values replace the two-pass kernel's HBM out
     block; measured headroom against the 16 MB scoped-vmem limit."""
     if jax.default_backend() != "tpu":
         return False
+    if group > 1 and num_sub % group != 0:
+        group = 1
     vmem = (
         num_q * d * 2  # queries bf16
-        + num_sub * k_size * dsub * 2  # codebooks bf16
+        + num_sub * k_size * (group * dsub) * 2  # stacked codebooks bf16
         + tile * num_sub * dsub * 2  # decode scratch
+        + tile * (group * k_size) * 2  # one-hot intermediate bf16
         + tile * num_sub * 4  # codes tile
         + num_q * tile * 4  # score tile value
         + num_q * (tile + _KPAD) * 8  # cat_s f32 + cat_i i32 values

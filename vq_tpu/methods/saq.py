@@ -46,7 +46,13 @@ from vq_tpu.core.packing import (
     unpack_bits,
 )
 from vq_tpu.kernels.adc import _bf16_supported, _finalize, _streaming_topk
-from vq_tpu.kernels.caq import caq_decode, caq_encode
+from vq_tpu.kernels.caq import (
+    caq_decode,
+    caq_decode_levels,
+    caq_encode,
+    caq_encode_levels,
+)
+from vq_tpu.kernels.lloyd1d import lloyd_1d_columns
 from vq_tpu.methods.base import BaseQuantizer
 
 
@@ -79,6 +85,10 @@ class SAQParams(NamedTuple):
     pca_mean: jax.Array  # (D,)
     pca_rot: jax.Array  # (D, D) orthogonal (identity when use_pca=False)
     seg_rots: Tuple[jax.Array, ...]  # per-segment (len, len) rotations
+    # per-segment (len, 2^bits) sorted level tables when cfg.codebook is
+    # "lloyd"/"exact" (engine derive_codebooks, ivf_index.cpp:55-117);
+    # empty tuple for the uniform CAQ grid.
+    seg_levels: Tuple[jax.Array, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -293,15 +303,14 @@ def make_plan(
 
 
 def fit(
-    key: jax.Array, x: jax.Array, cfg: SAQConfig, sample_cap: int = 200_000
+    key: jax.Array, x, cfg: SAQConfig, sample_cap: int = 200_000
 ) -> Tuple[SAQPlan, SAQParams]:
-    x = jnp.asarray(x, dtype=jnp.float32)
-    n, d = x.shape
-    if n > sample_cap:
-        idx = jax.random.choice(key, n, (sample_cap,), replace=False)
-        xs = x[idx]
-    else:
-        xs = x
+    # host-side subsampling before device transfer (53M-safe): numpy/mmap
+    # corpora never fully reach HBM (VERDICT weak #3)
+    from vq_tpu.data.sampling import host_sample_rows
+
+    xs = jnp.asarray(host_sample_rows(x, sample_cap, cfg.seed), jnp.float32)
+    d = xs.shape[1]
 
     if cfg.use_pca:
         mean, rot, variances = _pca(xs)
@@ -319,12 +328,47 @@ def fit(
         jnp.asarray(np.linalg.qr(rng.standard_normal((l, l)))[0], dtype=jnp.float32)
         for l in plan.seg_lens
     )
-    return plan, SAQParams(pca_mean=mean, pca_rot=rot, seg_rots=seg_rots)
+
+    seg_levels: Tuple[jax.Array, ...] = ()
+    if cfg.codebook != "uniform":
+        # derive per-dim codebooks on the rotated sample (the engine's
+        # derive_codebooks pass, ivf_index.cpp:55-117: allocation first,
+        # then data-fit levels at the allocated widths)
+        levels_list = []
+        for s in range(plan.num_segments):
+            st, ln, b = plan.seg_starts[s], plan.seg_lens[s], plan.seg_bits[s]
+            o = jnp.dot(x_rot[:, st : st + ln], seg_rots[s],
+                        precision=jax.lax.Precision.HIGHEST)
+            if cfg.codebook == "exact":
+                from vq_tpu.native import codebook_exact
+
+                on = np.asarray(o)
+                lv = np.stack([
+                    codebook_exact(on[:, dd], 1 << b, sample_cap=16384,
+                                   seed=cfg.seed)
+                    for dd in range(ln)
+                ])
+                levels_list.append(jnp.asarray(lv, dtype=jnp.float32))
+            else:  # lloyd
+                levels_list.append(lloyd_1d_columns(o, 1 << b))
+        seg_levels = tuple(levels_list)
+    return plan, SAQParams(
+        pca_mean=mean, pca_rot=rot, seg_rots=seg_rots, seg_levels=seg_levels
+    )
 
 
 # ---------------------------------------------------------------------------
 # encode / decode
 # ---------------------------------------------------------------------------
+
+
+def _seg_dequant(plan: SAQPlan, params: SAQParams, s: int, idx: jax.Array,
+                 rescale: jax.Array) -> jax.Array:
+    """Dequantize one segment's code indices (uniform grid or derived
+    levels) including the per-vector rescale factor."""
+    if params.seg_levels:
+        return caq_decode_levels(idx, rescale, params.seg_levels[s])
+    return caq_decode(idx, rescale, plan.seg_bits[s])
 
 
 def encode(plan: SAQPlan, params: SAQParams, x: jax.Array, caq_rounds: int = 6) -> jax.Array:
@@ -336,7 +380,10 @@ def encode(plan: SAQPlan, params: SAQParams, x: jax.Array, caq_rounds: int = 6) 
         st, ln, b = plan.seg_starts[s], plan.seg_lens[s], plan.seg_bits[s]
         o = jnp.dot(xp[:, st : st + ln], params.seg_rots[s],
                     precision=jax.lax.Precision.HIGHEST)
-        caq = caq_encode(o, b, rounds=caq_rounds)
+        if params.seg_levels:
+            caq = caq_encode_levels(o, params.seg_levels[s], rounds=caq_rounds)
+        else:
+            caq = caq_encode(o, b, rounds=caq_rounds)
         packed_parts.append(pack_bits(caq.codes, b))
         rescales.append(f32_to_bytes(caq.rescale))
         norms.append(f32_to_bytes(caq.o_l2norm))
@@ -369,7 +416,7 @@ def decode(plan: SAQPlan, params: SAQParams, codes: jax.Array) -> jax.Array:
     for s, (packed, rescale, _norm) in enumerate(parts):
         st, ln, b = plan.seg_starts[s], plan.seg_lens[s], plan.seg_bits[s]
         idx = unpack_bits(packed, b, ln)
-        o_hat = caq_decode(idx, rescale, b)
+        o_hat = _seg_dequant(plan, params, s, idx, rescale)
         seg = jnp.dot(o_hat, params.seg_rots[s].T,
                       precision=jax.lax.Precision.HIGHEST)
         xp = xp.at[:, st : st + ln].set(seg)
@@ -471,7 +518,7 @@ def scan_topk(
                 packed, rescale, _nrm = parts[s]
                 ln, b = plan.seg_lens[s], plan.seg_bits[s]
                 idx = unpack_bits(packed, b, ln)
-                o_parts.append(caq_decode(idx, rescale, b))  # (T, len)
+                o_parts.append(_seg_dequant(plan, params, s, idx, rescale))
             o_cat = jnp.concatenate(o_parts, axis=1)  # (T, Σ len)
             ip_res = jnp.dot(
                 q_cat, o_cat.astype(dt).T,
@@ -520,7 +567,7 @@ def scan_topk(
         packed, rescale, _nrm = parts[s]
         ln, b = plan.seg_lens[s], plan.seg_bits[s]
         idx = unpack_bits(packed, b, ln)
-        o_parts.append(caq_decode(idx, rescale, b))
+        o_parts.append(_seg_dequant(plan, params, s, idx, rescale))
     o_cat = jnp.concatenate(o_parts, axis=1).reshape(num_q, k1, -1)
     q_cat = jnp.concatenate([q_segs[s] for s in all_segs], axis=1)
     mean_cat = jnp.concatenate([mean_segs[s] for s in all_segs])
@@ -556,7 +603,7 @@ class SAQ(BaseQuantizer):
     def fit(self, X: np.ndarray) -> "SAQ":
         self._dim = X.shape[1]
         self.plan, self.params = fit(
-            jax.random.PRNGKey(self.cfg.seed), jnp.asarray(X), self.cfg
+            jax.random.PRNGKey(self.cfg.seed), X, self.cfg
         )
         return self
 
@@ -588,6 +635,7 @@ class SAQ(BaseQuantizer):
             "bpd": self.cfg.bits_per_dim,
             "allocator": self.cfg.allocator,
             "use_pca": self.cfg.use_pca,
+            "codebook": self.cfg.codebook,
             "segments": [
                 {"start": s, "len": l, "bits": b}
                 for s, l, b in zip(

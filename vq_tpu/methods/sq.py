@@ -26,10 +26,14 @@ class SQParams(NamedTuple):
     scale: jax.Array  # (D,) (max-min)/(2^b - 1), zeros→1 guarded
 
 
-def fit(x: jax.Array, cfg: SQConfig) -> SQParams:
-    x = jnp.asarray(x, dtype=jnp.float32)
-    lo = jnp.min(x, axis=0)
-    hi = jnp.max(x, axis=0)
+def fit(x, cfg: SQConfig) -> SQParams:
+    """x may be a jax array, numpy array, or np.memmap (streamed)."""
+    # chunked per-dim min/max: host corpora (numpy/mmap) stream to device in
+    # bounded chunks instead of one full-corpus transfer (the reference SQ's
+    # 53M OOM guard, scalar_quantization.py:41-50; VERDICT weak #3)
+    from vq_tpu.data.sampling import chunked_min_max
+
+    lo, hi = chunked_min_max(x)
     levels = (1 << cfg.num_bits) - 1
     scale = (hi - lo) / levels
     scale = jnp.where(scale > 0, scale, 1.0)
@@ -74,7 +78,7 @@ class SQ(BaseQuantizer):
 
     def fit(self, X: np.ndarray) -> "SQ":
         self._dim = X.shape[1]
-        self.params = fit(jnp.asarray(X), self.cfg)
+        self.params = fit(X, self.cfg)
         return self
 
     def compress(self, X: np.ndarray) -> np.ndarray:
