@@ -1,0 +1,192 @@
+"""Packed-word Pallas kernel (kernels/pallas_packed.py) vs the XLA scans.
+
+All kernel runs use interpret mode (CPU); on-TPU compiled-mode equality is
+asserted by bench.py / scripts/parity_check.py at 512-multiple shapes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vq_tpu.core.config import Metric, SAQConfig
+from vq_tpu.kernels.pallas_packed import pack_words
+from vq_tpu.methods import saq as saq_mod
+
+
+def test_pack_words_roundtrip_all_widths():
+    rng = np.random.default_rng(0)
+    for bits in (1, 2, 3, 4, 5, 6, 8):
+        ln = 37
+        beff = {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 8, 8: 8}[bits]
+        u = 32 // beff
+        n = 3 * u  # row-interleaved words need N % u == 0
+        idx = rng.integers(0, 1 << bits, size=(n, ln))
+        w = np.asarray(pack_words(jnp.asarray(idx), bits))
+        assert w.shape == (n // u, ln)
+        # manual unpack: word row r shift-slot j holds source row r*u + j
+        chunks = [((w.astype(np.uint32) >> (beff * j)) & ((1 << bits) - 1))
+                  for j in range(u)]
+        got = np.stack(chunks, axis=1).reshape(n, ln)
+        np.testing.assert_array_equal(got, idx)
+
+
+def test_choose_beff_avoids_skinny_16row_blocks():
+    """Regression for the v5e Mosaic mis-DMA: (16-sublane, <128-lane) int32
+    blocks fetch the wrong grid block; 1-bit skinny segments must store at
+    2 bits (u=16 → 32-row blocks).  Full-lane segments keep dense width."""
+    from vq_tpu.kernels.pallas_packed import choose_beff
+
+    assert choose_beff(1, 14) == 2
+    assert choose_beff(1, 128) == 1
+    assert choose_beff(1, 1536) == 1
+    assert choose_beff(2, 20) == 2
+    assert choose_beff(4, 28) == 4
+
+
+def test_pack_words_explicit_beff_roundtrip():
+    rng = np.random.default_rng(2)
+    idx = rng.integers(0, 2, size=(32, 14))
+    w = np.asarray(pack_words(jnp.asarray(idx), 1, 2))  # 1-bit at beff=2
+    assert w.shape == (2, 14)
+    chunks = [((w.astype(np.uint32) >> (2 * j)) & 1) for j in range(16)]
+    got = np.stack(chunks, axis=1).reshape(32, 14)
+    np.testing.assert_array_equal(got, idx)
+
+
+def _mk_saq(rng, n=640, d=48, bpd=2.0, codebook="uniform", use_pca=True):
+    x = (rng.standard_normal((n, d)) * (1.0 + np.arange(d))[::-1] ** 0.5
+         ).astype(np.float32)
+    cfg = SAQConfig(bits_per_dim=bpd, use_pca=use_pca, codebook=codebook)
+    m = saq_mod.SAQ(cfg)
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    return m, x, codes
+
+
+@pytest.mark.parametrize("codebook", ["uniform", "lloyd"])
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.NIP])
+def test_saq_packed_matches_xla_scan(codebook, metric):
+    rng = np.random.default_rng(3)
+    m, x, codes = _mk_saq(rng, codebook=codebook)
+    q = rng.standard_normal((16, x.shape[1])).astype(np.float32)
+    norms = jnp.linalg.norm(jnp.asarray(x), axis=-1)
+
+    s_ref, i_ref = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 8, metric, norms=norms,
+        use_bf16=False, use_packed=False,
+    )
+    s_pk, i_pk = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 8, metric, norms=norms,
+        use_bf16=False, use_packed=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_pk), np.asarray(s_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_saq_packed_cache_reuse_and_num_valid():
+    rng = np.random.default_rng(5)
+    m, x, codes = _mk_saq(rng)
+    q = rng.standard_normal((8, x.shape[1])).astype(np.float32)
+    cache = saq_mod.prepare_packed(m.plan, m.params, codes)
+    nv = jnp.int32(300)
+    s_pk, i_pk = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 5, Metric.L2,
+        use_bf16=False, use_packed=True, interpret=True, packed_cache=cache,
+        num_valid=nv,
+    )
+    s_ref, i_ref = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 5, Metric.L2,
+        use_bf16=False, use_packed=False, num_valid=nv,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    assert np.asarray(i_pk).max() < 300
+
+
+@pytest.mark.parametrize("num_bits", [1, 4])
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.NIP])
+def test_rabitq_packed_matches_xla_scan(num_bits, metric):
+    from vq_tpu.core.config import RaBitQConfig
+    from vq_tpu.methods import rabitq as rb_mod
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((640, 40)).astype(np.float32) + 0.3
+    m = rb_mod.RaBitQ(RaBitQConfig(num_bits=num_bits))
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    q = rng.standard_normal((16, 40)).astype(np.float32)
+    norms = jnp.linalg.norm(jnp.asarray(x), axis=-1)
+
+    s_ref, i_ref = rb_mod.scan_topk(
+        m.params, jnp.asarray(q), codes, 8, metric, num_bits, norms=norms,
+        use_bf16=False, use_packed=False,
+    )
+    s_pk, i_pk = rb_mod.scan_topk(
+        m.params, jnp.asarray(q), codes, 8, metric, num_bits, norms=norms,
+        use_bf16=False, use_packed=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_pk), np.asarray(s_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("packing", ["dense", "ffd"])
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.NIP])
+def test_rankaware_packed_matches_xla_scan(packing, metric):
+    from vq_tpu.core.config import RankAwareConfig
+    from vq_tpu.methods import rankaware as ra_mod
+
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal((640, 40)) * (1.0 + np.arange(40))[::-1]
+         ).astype(np.float32)
+    m = ra_mod.RankAware(RankAwareConfig(bits_per_dim=2.0, packing=packing))
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    q = rng.standard_normal((12, 40)).astype(np.float32)
+    norms = jnp.linalg.norm(jnp.asarray(x), axis=-1)
+
+    s_ref, i_ref = m.scan_topk(
+        jnp.asarray(q), codes, 8, metric, norms=norms, use_bf16=False,
+        use_packed=False,
+    )
+    s_pk, i_pk = m.scan_topk(
+        jnp.asarray(q), codes, 8, metric, norms=norms, use_bf16=False,
+        use_packed=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_pk), np.asarray(s_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_saq_packed_cascade_matches_dense_recall():
+    """Stage-1 (head segments, in-kernel top-k) + exact rescore finds the
+    same neighbors as the dense scan on easy data."""
+    rng = np.random.default_rng(7)
+    # d=128 → two 64-dim allocation blocks; the steep variance profile makes
+    # the allocator give them different widths → ≥ 2 segments
+    m, x, codes = _mk_saq(rng, n=1024, d=128, bpd=2.0)
+    assert m.plan.num_segments >= 2, m.plan
+    qi = rng.integers(0, 1024, size=12)
+    q = x[qi] + 0.01 * rng.standard_normal((12, 128)).astype(np.float32)
+
+    s_d, i_d = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 10, Metric.L2,
+        use_bf16=False, use_packed=False,
+    )
+    s_c, i_c = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 10, Metric.L2,
+        use_bf16=False, use_packed=True, interpret=True,
+        prune_segments=1, rerank_factor=10,
+    )
+    # top-1 must agree; cascade top-10 overlap ≥ 80% (stage-1 is an estimate)
+    np.testing.assert_array_equal(
+        np.asarray(i_c)[:, 0], np.asarray(i_d)[:, 0]
+    )
+    overlap = np.mean([
+        len(set(np.asarray(i_c)[j]) & set(np.asarray(i_d)[j])) / 10
+        for j in range(12)
+    ])
+    assert overlap >= 0.8, overlap

@@ -92,10 +92,16 @@ def test_caq_levels_roundtrip_and_rescale(rng):
     assert np.asarray(code.codes).max() < 8
 
 
-def test_saq_derived_codebooks_improve_mse_on_nonuniform_data(rng):
-    # heavy-tailed per-dim scales → Lloyd levels beat the uniform grid
-    scales = np.exp(rng.standard_normal(32)).astype(np.float32)
-    x = (rng.standard_normal((1500, 32)) ** 3 * scales).astype(np.float32)
+def test_saq_derived_codebooks_improve_mse_on_nonuniform_data():
+    # bimodal per-dim data → Lloyd levels (modes) beat the uniform mid-rise
+    # grid robustly (heavy-tailed data is draw-dependent: per-vector v_mx
+    # normalization adapts to tails, so the uniform grid sometimes wins).
+    # Local rng: the session-scoped fixture's stream depends on execution
+    # order and this comparison must be order-independent.
+    rng = np.random.default_rng(7)
+    m = 1.0 + rng.random(32).astype(np.float32) * 2
+    signs = rng.choice([-1.0, 1.0], size=(1500, 32)).astype(np.float32)
+    x = (signs * m + 0.05 * rng.standard_normal((1500, 32))).astype(np.float32)
 
     uni = build_quantizer("saq", 32, bpd=2.0, codebook="uniform", use_pca=False)
     llo = build_quantizer("saq", 32, bpd=2.0, codebook="lloyd", use_pca=False)

@@ -46,6 +46,11 @@ class FlatQuantizedIndex(BaseSearchIndex):
         self.codes = jnp.asarray(self.quantizer.compress(X))
         self.norms = jnp.linalg.norm(xd, axis=-1)
         self.num_rows = X.shape[0]
+        # scan-optimized layout (kernels/pallas_packed.py PackedCorpus) —
+        # built once here so the hot search path never re-parses byte rows
+        self._scan_cache = self.quantizer.prepare_scan(
+            self.codes, norms=self.norms
+        )
         return self
 
     def search_with_scores(
@@ -60,6 +65,7 @@ class FlatQuantizedIndex(BaseSearchIndex):
             tile_rows=self.search_cfg.tile_rows,
             use_bf16=self.search_cfg.use_bf16,
             approx=self.search_cfg.approx,
+            cache=getattr(self, "_scan_cache", None),
         )
         return np.asarray(idx).astype(np.uint32), np.asarray(scores)
 
@@ -103,3 +109,6 @@ class FlatQuantizedIndex(BaseSearchIndex):
         self.norms = jnp.asarray(state["norms"])
         self.num_rows = state["num_rows"]
         self.search_cfg = state["search_cfg"]
+        self._scan_cache = self.quantizer.prepare_scan(
+            self.codes, norms=self.norms
+        )

@@ -65,14 +65,26 @@ class BaseQuantizer:
         tile_rows: int = 16384,
         use_bf16: bool = True,
         approx: bool = False,
+        cache=None,
+        num_valid=None,
     ):
-        """Fused ADC search over this method's codes (device arrays in/out)."""
+        """Fused ADC search over this method's codes (device arrays in/out).
+
+        `cache` is the opaque value returned by prepare_scan (ignored by the
+        generic path); `num_valid` masks rows with id ≥ num_valid."""
         from vq_tpu.kernels.adc import scan_generic_topk
 
         return scan_generic_topk(
             queries, codes, self.decode_fn(), k, metric, norms, tile_rows,
-            use_bf16, approx=approx,
+            use_bf16, approx=approx, num_valid=num_valid,
         )
+
+    def prepare_scan(self, codes, norms=None):
+        """Optionally build a scan-optimized corpus layout (e.g. the packed
+        bitplane words of kernels/pallas_packed.py).  Indexes call this once
+        at fit and pass the result back via scan_topk(cache=...); the default
+        None means "scan the stored rows directly"."""
+        return None
 
     @property
     def dim(self) -> Optional[int]:

@@ -131,7 +131,7 @@ class OPQ(BaseQuantizer):
         return lambda ct: decode(params, ct)
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
-                  use_bf16=True, approx=False):
+                  use_bf16=True, approx=False, cache=None, num_valid=None):
         """Rotation is orthogonal → rotate queries once, then the fused PQ
         scan in rotated space gives exact L2/IP/NIP ranking."""
         from vq_tpu.kernels.adc import scan_codes_topk
@@ -140,7 +140,7 @@ class OPQ(BaseQuantizer):
                      precision=jax.lax.Precision.HIGHEST)
         return scan_codes_topk(
             qr, codes, self.params.codebooks, k, metric, norms, tile_rows,
-            use_bf16, approx=approx,
+            use_bf16, approx=approx, num_valid=num_valid,
         )
 
     def code_bytes_per_vector(self) -> float:

@@ -133,12 +133,12 @@ class PQ(BaseQuantizer):
         return lambda ct: decode_pq(codebooks, ct)
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
-                  use_bf16=True, approx=False):
+                  use_bf16=True, approx=False, cache=None, num_valid=None):
         from vq_tpu.kernels.adc import scan_codes_topk
 
         return scan_codes_topk(
             queries, codes, self.params.codebooks, k, metric, norms, tile_rows,
-            use_bf16, approx=approx,
+            use_bf16, approx=approx, num_valid=num_valid,
         )
 
     def code_bytes_per_vector(self) -> float:

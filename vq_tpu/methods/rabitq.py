@@ -108,6 +108,102 @@ def decode(params: RaBitQParams, codes: jax.Array, num_bits: int) -> jax.Array:
     )
 
 
+# ---------------------------------------------------------------------------
+# packed-word scan layout (Pallas fast path, kernels/pallas_packed.py)
+# ---------------------------------------------------------------------------
+
+
+def _packed_segspec(d: int, num_bits: int):
+    from vq_tpu.kernels.pallas_packed import make_segspec
+
+    return make_segspec(num_bits, d, "shared", -1)
+
+
+def prepare_packed(
+    params: RaBitQParams,
+    codes: jax.Array,
+    num_bits: int,
+    norms: Optional[jax.Array] = None,
+    row_chunk: int = 131072,
+):
+    """Byte rows → PackedCorpus.  factors = (‖r‖, t, original-norm-or-1)."""
+    from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
+
+    d = params.centroid.shape[0]
+    ib = packed_bytes(d, num_bits)
+    n = codes.shape[0]
+    row_chunk = max(512, row_chunk - row_chunk % 512)
+    pad = (-n) % 512
+    if pad:  # zero rows parse to idx 0 / nrm 0 / t 0; `limit` masks them
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    n_pad = n + pad
+
+    beff = _packed_segspec(d, num_bits).beff
+
+    @jax.jit
+    def convert(rows):
+        idx = unpack_bits(rows[:, :ib], num_bits, d)
+        nrm = bytes_to_f32(rows[:, ib : ib + 4])
+        t = bytes_to_f32(rows[:, ib + 4 : ib + 8])
+        return pack_words(idx, num_bits, beff), jnp.stack([nrm, t], axis=1)
+
+    w_chunks, f_chunks = [], []
+    for i0 in range(0, n_pad, row_chunk):
+        w, f = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
+        w_chunks.append(w)
+        f_chunks.append(f)
+    words = jnp.concatenate(w_chunks, axis=0) if len(w_chunks) > 1 else w_chunks[0]
+    fac = jnp.concatenate(f_chunks, axis=0) if len(f_chunks) > 1 else f_chunks[0]
+    nrm_col = (
+        jnp.ones((n, 1), jnp.float32)
+        if norms is None
+        else norms.reshape(n, 1).astype(jnp.float32)
+    )
+    if pad:
+        nrm_col = jnp.pad(nrm_col, ((0, pad), (0, 0)), constant_values=1.0)
+    fac = jnp.concatenate([fac, nrm_col], axis=1)
+    return PackedCorpus(words=(words,), factors=fac, num_rows=n)
+
+
+def _packed_scan(params, queries, packed, k, metric, num_bits,
+                 num_valid=None, interpret=False, use_bf16=True):
+    from vq_tpu.kernels.pallas_packed import packed_scan_topk
+
+    d = params.centroid.shape[0]
+    seg = _packed_segspec(d, num_bits)
+    qr = jnp.dot(queries, params.rotation, precision=jax.lax.Precision.HIGHEST)
+    cr = jnp.dot(params.centroid, params.rotation,
+                 precision=jax.lax.Precision.HIGHEST)
+    qc = jnp.dot(queries, params.centroid, precision=jax.lax.Precision.HIGHEST)
+    c_sq = jnp.sum(params.centroid**2)
+    q_cat = qr
+    mean_cat = cr
+    if metric == Metric.L2:
+        kind, qa = "l2", 2.0 * qc - c_sq
+    elif metric == Metric.IP:
+        kind, qa = "ip", qc
+    else:
+        kind, qa = "nip", qc
+    limit = packed.num_rows if num_valid is None else jnp.minimum(
+        packed.num_rows, num_valid
+    )
+    lv = params.levels.reshape(1, -1)
+    return packed_scan_topk(
+        q_cat, qa, mean_cat, packed.words, packed.factors, (lv,), (seg,), k,
+        family="rabitq", metric_kind=kind, norm_col=2, nrm_col=0, t_col=1,
+        sqrt_d=float(np.sqrt(d)), limit=limit, interpret=interpret,
+        use_bf16=use_bf16,
+    )
+
+
+def _packed_available(d, num_bits, num_q, interpret=False):
+    from vq_tpu.kernels.pallas_packed import packed_scan_available
+
+    seg = _packed_segspec(d, num_bits)
+    ok = packed_scan_available((seg,), num_q, d, 3, [1 << num_bits])
+    return ok or (interpret and num_bits <= 6)
+
+
 def scan_topk(
     params: RaBitQParams,
     queries: jax.Array,
@@ -120,6 +216,9 @@ def scan_topk(
     use_bf16: bool = True,
     num_valid: Optional[jax.Array] = None,
     approx: bool = False,
+    packed_cache=None,
+    use_packed: Optional[bool] = None,
+    interpret: bool = False,
 ):
     """Fused RaBitQ scan: rotated queries, per-tile bit-unpack + level
     lookup + MXU scoring; no per-tile D×D rotation."""
@@ -129,6 +228,26 @@ def scan_topk(
     num_q = queries.shape[0]
     tile = min(tile_rows, max(8, n))
     use_bf16 = use_bf16 and _bf16_supported()
+
+    queries = jnp.asarray(queries, dtype=jnp.float32)
+    if use_packed is None:
+        use_packed = (
+            n >= 512 and k <= 128
+            and _packed_available(d, num_bits, num_q, interpret=interpret)
+        )
+    if use_packed:
+        from vq_tpu.kernels.adc import _finalize as _fin
+
+        packed = packed_cache if packed_cache is not None else prepare_packed(
+            params, codes, num_bits,
+            norms=norms if metric == Metric.NIP else None,
+        )
+        outs, outi = _packed_scan(
+            params, queries, packed, k, metric, num_bits,
+            num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+        )
+        return _fin(outs, outi, metric,
+                    jnp.sum(queries * queries, axis=-1))
     dt = jnp.bfloat16 if use_bf16 else jnp.float32
     prec = jax.lax.Precision.DEFAULT if use_bf16 else jax.lax.Precision.HIGHEST
 
@@ -209,11 +328,18 @@ class RaBitQ(BaseQuantizer):
         return lambda ct: decode(params, ct, bits)
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
-                  use_bf16=True, approx=False):
+                  use_bf16=True, approx=False, cache=None, num_valid=None):
         return scan_topk(
             self.params, queries, codes, k, metric, self.cfg.num_bits,
             norms=norms, tile_rows=tile_rows, use_bf16=use_bf16, approx=approx,
+            packed_cache=cache, num_valid=num_valid,
         )
+
+    def prepare_scan(self, codes, norms=None):
+        if not _packed_available(self._dim, self.cfg.num_bits, 8):
+            return None
+        return prepare_packed(self.params, jnp.asarray(codes),
+                              self.cfg.num_bits, norms=norms)
 
     def code_bytes_per_vector(self) -> float:
         return float(packed_bytes(self._dim, self.cfg.num_bits) + 8)

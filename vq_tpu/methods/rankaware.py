@@ -172,6 +172,131 @@ def encode(params, bits, layout, x, packing: str):
     return dense_encode(codes, bits)
 
 
+# ---------------------------------------------------------------------------
+# packed-word scan layout (Pallas fast path, kernels/pallas_packed.py)
+# ---------------------------------------------------------------------------
+
+
+def _bit_runs(bits: np.ndarray):
+    """Maximal runs of equal nonzero bit width → [(start, len, b), ...].
+    0-bit dims decode to ŷ=0 and are dropped from the scan entirely."""
+    runs = []
+    d = len(bits)
+    i = 0
+    while i < d:
+        b = int(bits[i])
+        j = i + 1
+        while j < d and int(bits[j]) == b:
+            j += 1
+        if b > 0:
+            runs.append((i, j - i, b))
+        i = j
+    return runs
+
+
+def _packed_segspecs(params: "RankAwareParams", bits: np.ndarray):
+    """→ (segspecs, lv_tables, dim_slices) — one segment per equal-bit run,
+    per-dim level tables, no per-row scale (levels are absolute in y-space)."""
+    from vq_tpu.kernels.pallas_packed import make_segspec
+
+    segs, lv_tables, dim_slices = [], [], []
+    for st, ln, b in _bit_runs(np.asarray(bits)):
+        segs.append(make_segspec(b, ln, "perdim", -1))
+        lv_tables.append(params.codebooks[st : st + ln, : 1 << b])
+        dim_slices.append((st, ln))
+    return tuple(segs), tuple(lv_tables), dim_slices
+
+
+def prepare_packed(params, bits, layout, codes, packing: str,
+                   norms: Optional[jax.Array] = None, row_chunk: int = 131072):
+    """Packed rows (dense or FFD) → PackedCorpus: decode to per-dim indices,
+    re-pack as interleaved bitplane words per equal-bit segment.  factors =
+    (original-norm-or-1,) for Metric.NIP."""
+    from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
+
+    n = codes.shape[0]
+    runs = _bit_runs(np.asarray(bits))
+    row_chunk = max(512, row_chunk - row_chunk % 512)
+    pad = (-n) % 512
+    if pad:  # zero rows decode to idx 0; `limit` masks them
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    n_pad = n + pad
+
+    segspecs = _packed_segspecs(params, bits)[0]
+
+    @jax.jit
+    def convert(rows):
+        if packing == "ffd":
+            idx = ffd_decode_codes(rows, layout)
+        else:
+            idx = dense_decode_codes(rows, bits)
+        return tuple(
+            pack_words(idx[:, st : st + ln], b, seg.beff)
+            for (st, ln, b), seg in zip(runs, segspecs)
+        )
+
+    w_chunks = [
+        convert(codes[i0 : min(i0 + row_chunk, n_pad)])
+        for i0 in range(0, n_pad, row_chunk)
+    ]
+    words = tuple(
+        jnp.concatenate([c[s] for c in w_chunks], axis=0)
+        if len(w_chunks) > 1 else w_chunks[0][s]
+        for s in range(len(runs))
+    )
+    fac = (
+        jnp.ones((n, 1), jnp.float32)
+        if norms is None
+        else norms.reshape(n, 1).astype(jnp.float32)
+    )
+    if pad:
+        fac = jnp.pad(fac, ((0, pad), (0, 0)), constant_values=1.0)
+    return PackedCorpus(words=words, factors=fac, num_rows=n)
+
+
+def _packed_scan(params, bits, queries, packed, k, metric,
+                 num_valid=None, interpret=False, use_bf16=True):
+    from vq_tpu.kernels.pallas_packed import packed_scan_topk
+
+    segs, lv_tables, dim_slices = _packed_segspecs(params, bits)
+    qv = jnp.dot(queries, params.rotation, precision=jax.lax.Precision.HIGHEST)
+    mu_v = jnp.dot(params.mean, params.rotation,
+                   precision=jax.lax.Precision.HIGHEST)
+    q_mu = jnp.dot(queries, params.mean, precision=jax.lax.Precision.HIGHEST)
+    mu_sq = jnp.sum(params.mean**2)
+    q_cat = jnp.concatenate(
+        [qv[:, st : st + ln] for st, ln in dim_slices], axis=1
+    )
+    mean_cat = jnp.concatenate([mu_v[st : st + ln] for st, ln in dim_slices])
+    if metric == Metric.L2:
+        kind, qa = "l2", 2.0 * q_mu - mu_sq
+    elif metric == Metric.IP:
+        kind, qa = "ip", q_mu
+    else:
+        kind, qa = "nip", q_mu
+    limit = packed.num_rows if num_valid is None else jnp.minimum(
+        packed.num_rows, num_valid
+    )
+    return packed_scan_topk(
+        q_cat, qa, mean_cat, packed.words, packed.factors, lv_tables, segs, k,
+        family="seg", metric_kind=kind, norm_col=0, limit=limit,
+        interpret=interpret, use_bf16=use_bf16,
+    )
+
+
+def _packed_available(params, bits, num_q, interpret=False):
+    from vq_tpu.kernels.pallas_packed import packed_scan_available
+
+    segs, lv_tables, _ = _packed_segspecs(params, bits)
+    if not segs:
+        return False
+    d = sum(s.ln for s in segs)
+    ok = packed_scan_available(
+        segs, num_q, d, 1, [int(np.prod(t.shape)) for t in lv_tables]
+    )
+    return ok or (interpret and all(s.bits <= 6 for s in segs))
+
+
 def decode(params, bits, layout, packed, packing: str):
     if packing == "ffd":
         codes = ffd_decode_codes(packed, layout)
@@ -217,13 +342,32 @@ class RankAware(BaseQuantizer):
         return lambda ct: decode(params, bits, layout, ct, packing)
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
-                  use_bf16=True, approx=False):
+                  use_bf16=True, approx=False, cache=None, num_valid=None,
+                  use_packed=None, interpret=False):
         """Rotated-query fused scan: q·x̂ = (qV)·ŷ + q·mu, ‖x̂‖² from ŷ."""
         params, bits, layout, packing = self.params, self.bits, self.layout, self.cfg.packing
         n = codes.shape[0]
         num_q = queries.shape[0]
         tile = min(tile_rows, max(8, n))
         bf = use_bf16 and _bf16_supported()
+
+        queries = jnp.asarray(queries, jnp.float32)
+        if use_packed is None:
+            use_packed = (
+                n >= 512 and k <= 128
+                and _packed_available(params, bits, num_q, interpret=interpret)
+            )
+        if use_packed:
+            packed = cache if cache is not None else prepare_packed(
+                params, bits, layout, codes, packing,
+                norms=norms if metric == Metric.NIP else None,
+            )
+            outs, outi = _packed_scan(
+                params, bits, queries, packed, k, metric,
+                num_valid=num_valid, interpret=interpret, use_bf16=bf,
+            )
+            return _finalize(outs, outi, metric,
+                             jnp.sum(queries * queries, axis=-1))
         dt = jnp.bfloat16 if bf else jnp.float32
         prec = jax.lax.Precision.DEFAULT if bf else jax.lax.Precision.HIGHEST
 
@@ -267,10 +411,17 @@ class RankAware(BaseQuantizer):
                 nt = jax.lax.dynamic_slice_in_dim(norms_p, start, tile, axis=0)
                 s = ip / jnp.maximum(nt, 1e-30)[None, :]
             col = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-            return jnp.where(col < n, s, -jnp.inf)
+            limit = n if num_valid is None else jnp.minimum(n, num_valid)
+            return jnp.where(col < limit, s, -jnp.inf)
 
         scores, idx = _streaming_topk(score_tile, n, num_q, k, tile, approx=approx)
         return _finalize(scores, idx, metric, q_sq)
+
+    def prepare_scan(self, codes, norms=None):
+        if not _packed_available(self.params, self.bits, 8):
+            return None
+        return prepare_packed(self.params, self.bits, self.layout,
+                              jnp.asarray(codes), self.cfg.packing, norms=norms)
 
     def code_bytes_per_vector(self) -> float:
         if self.cfg.packing == "ffd":

@@ -53,6 +53,7 @@ from vq_tpu.kernels.caq import (
     caq_encode_levels,
 )
 from vq_tpu.kernels.lloyd1d import lloyd_1d_columns
+from vq_tpu.kernels.pallas_packed import PackedCorpus
 from vq_tpu.methods.base import BaseQuantizer
 
 
@@ -427,6 +428,160 @@ def decode(plan: SAQPlan, params: SAQParams, codes: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# packed-word scan layout (Pallas fast path, kernels/pallas_packed.py)
+# ---------------------------------------------------------------------------
+
+
+def packed_segspecs(plan: SAQPlan, params: SAQParams):
+    """→ (segspecs tuple, lv_tables tuple) for kernels/pallas_packed.py.
+
+    factors column s carries segment s's rescale (scale_col=s); derived
+    codebooks ("lloyd") emit per-dim level tables, the uniform grid needs
+    none."""
+    from vq_tpu.kernels.pallas_packed import make_segspec
+
+    segs = []
+    lv_tables = []
+    for s in range(plan.num_segments):
+        ln, b = plan.seg_lens[s], plan.seg_bits[s]
+        dequant = "perdim" if params.seg_levels else "uniform"
+        segs.append(make_segspec(b, ln, dequant, s))
+        if params.seg_levels:
+            lv_tables.append(params.seg_levels[s])  # (ln, 2^b)
+    return tuple(segs), tuple(lv_tables)
+
+
+def prepare_packed(
+    plan: SAQPlan,
+    params: SAQParams,
+    codes: jax.Array,
+    norms: Optional[jax.Array] = None,
+    row_chunk: int = 131072,
+) -> "PackedCorpus":
+    """Byte rows → PackedCorpus (factors col s = segment s rescale; col S =
+    original row norm for Metric.NIP, 1.0 when absent), chunked so the
+    (chunk, D, 8) unpack intermediates stay bounded at multi-million-row
+    corpora."""
+    from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
+
+    n = codes.shape[0]
+    s_count = plan.num_segments
+    row_chunk = max(512, row_chunk - row_chunk % 512)  # keep chunks % u == 0
+    pad = (-n) % 512
+    if pad:  # zero byte rows parse to idx 0 / rescale 0; `limit` masks them
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    n_pad = n + pad
+
+    segspecs = packed_segspecs(plan, params)[0]
+
+    @jax.jit
+    def convert(rows):
+        parts = _split_row(plan, rows)
+        words = []
+        fac_cols = []
+        for s, (packed, rescale, _nrm) in enumerate(parts):
+            idx = unpack_bits(packed, plan.seg_bits[s], plan.seg_lens[s])
+            words.append(pack_words(idx, plan.seg_bits[s], segspecs[s].beff))
+            fac_cols.append(rescale[:, None])
+        return tuple(words), jnp.concatenate(fac_cols, axis=1)
+
+    w_chunks, f_chunks = [], []
+    for i0 in range(0, n_pad, row_chunk):  # row_chunk % 512 == 0
+        w, f = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
+        w_chunks.append(w)
+        f_chunks.append(f)
+    words = tuple(
+        jnp.concatenate([c[s] for c in w_chunks], axis=0)
+        if len(w_chunks) > 1 else w_chunks[0][s]
+        for s in range(s_count)
+    )
+    fac = jnp.concatenate(f_chunks, axis=0) if len(f_chunks) > 1 else f_chunks[0]
+    nrm_col = (
+        jnp.ones((n, 1), jnp.float32)
+        if norms is None
+        else norms.reshape(n, 1).astype(jnp.float32)
+    )
+    if pad:
+        nrm_col = jnp.pad(nrm_col, ((0, pad), (0, 0)), constant_values=1.0)
+    fac = jnp.concatenate([fac, nrm_col], axis=1)
+    return PackedCorpus(words=words, factors=fac, num_rows=n)
+
+
+def _packed_query_side(plan, params, queries, seg_ids):
+    """Rotate queries/mean into the kernel's concatenated code space.
+
+    → (q_cat (Q, Σln), mean_cat (Σln,), q_mean (Q,), mean_sq scalar)
+    restricted to `seg_ids` (stage-1 pruning uses a head-segment prefix).
+    """
+    qp = jnp.dot(queries, params.pca_rot, precision=jax.lax.Precision.HIGHEST)
+    mean_p = jnp.dot(params.pca_mean, params.pca_rot,
+                     precision=jax.lax.Precision.HIGHEST)
+    q_parts, m_parts = [], []
+    for s in seg_ids:
+        st, ln = plan.seg_starts[s], plan.seg_lens[s]
+        q_parts.append(jnp.dot(qp[:, st : st + ln], params.seg_rots[s],
+                               precision=jax.lax.Precision.HIGHEST))
+        m_parts.append(jnp.dot(mean_p[st : st + ln], params.seg_rots[s],
+                               precision=jax.lax.Precision.HIGHEST))
+    q_cat = jnp.concatenate(q_parts, axis=1)
+    mean_cat = jnp.concatenate(m_parts)
+    q_mean = jnp.dot(queries, params.pca_mean,
+                     precision=jax.lax.Precision.HIGHEST)
+    mean_sq = jnp.sum(params.pca_mean**2)
+    return q_cat, mean_cat, q_mean, mean_sq
+
+
+def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
+                 seg_ids=None, num_valid=None, interpret=False,
+                 use_bf16=True):
+    """Run the fused packed kernel over (a segment subset of) the corpus.
+
+    Returns maximize-form (scores, ids) — callers finalize.  seg_ids selects
+    a subset of segments (stage 1 uses the high-variance head); each segment
+    carries its own words array, so any subset works.
+    """
+    from vq_tpu.kernels.pallas_packed import packed_scan_topk
+
+    segs, lv_tables = packed_segspecs(plan, params)
+    if seg_ids is None:
+        seg_ids = tuple(range(plan.num_segments))
+    seg_sub = tuple(segs[s] for s in seg_ids)
+    lv_sub = tuple(lv_tables[s] for s in seg_ids) if params.seg_levels else ()
+    words = tuple(packed.words[s] for s in seg_ids)
+    q_cat, mean_cat, q_mean, mean_sq = _packed_query_side(
+        plan, params, queries, seg_ids
+    )
+    if metric == Metric.L2:
+        kind, qa = "l2", 2.0 * q_mean - mean_sq
+    elif metric == Metric.IP:
+        kind, qa = "ip", q_mean
+    else:
+        kind, qa = "nip", q_mean
+    limit = packed.num_rows if num_valid is None else jnp.minimum(
+        packed.num_rows, num_valid
+    )
+    return packed_scan_topk(
+        q_cat, qa, mean_cat, words, packed.factors, lv_sub, seg_sub, k,
+        family="seg", metric_kind=kind, norm_col=plan.num_segments,
+        limit=limit, interpret=interpret, use_bf16=use_bf16,
+    )
+
+
+def _packed_available(plan, params, num_q, interpret=False):
+    from vq_tpu.kernels.pallas_packed import packed_scan_available
+
+    segs, lv_tables = packed_segspecs(plan, params)
+    d = sum(s.ln for s in segs)
+    ok = packed_scan_available(
+        segs, num_q, d, plan.num_segments + 1,
+        [int(np.prod(t.shape)) for t in lv_tables],
+    )
+    return ok or (interpret and all(
+        s.bits <= 6 or s.dequant == "uniform" for s in segs
+    ))
+
+
+# ---------------------------------------------------------------------------
 # fused scan (queries rotated once; no per-tile rotations)
 # ---------------------------------------------------------------------------
 
@@ -445,6 +600,9 @@ def scan_topk(
     approx: bool = False,
     prune_segments: int = 0,
     rerank_factor: int = 10,
+    packed_cache: Optional[PackedCorpus] = None,
+    use_packed: Optional[bool] = None,
+    interpret: bool = False,
 ):
     """Fused SAQ scan, optionally with the engine's pruning cascade.
 
@@ -473,6 +631,40 @@ def scan_topk(
 
     queries = jnp.asarray(queries, dtype=jnp.float32)
     q_sq = jnp.sum(queries * queries, axis=-1)
+
+    # Pallas packed-word fast path: in-kernel bit-unpack + dequant +
+    # in-VMEM running top-k — the non-PQ analog of pq_scan_topk_fused.
+    if use_packed is None:
+        use_packed = (
+            n >= 512 and k <= 128
+            and _packed_available(plan, params, num_q, interpret=interpret)
+        )
+    if use_packed:
+        packed = packed_cache if packed_cache is not None else prepare_packed(
+            plan, params, codes, norms if metric == Metric.NIP else None
+        )
+        want_prune = (
+            0 < prune_segments < plan.num_segments
+            and n > 2 * rerank_factor * k
+            and rerank_factor * k <= 128
+        )
+        if not want_prune:
+            outs, outi = _packed_scan(
+                plan, params, queries, packed, k, metric,
+                num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+            )
+            return _finalize(outs, outi, metric, q_sq)
+        # stage 1 in-kernel over the high-variance head segments
+        k1 = min(n, rerank_factor * k)
+        s1, cand = _packed_scan(
+            plan, params, queries, packed, k1, metric,
+            seg_ids=tuple(range(prune_segments)), num_valid=num_valid,
+            interpret=interpret, use_bf16=use_bf16,
+        )
+        return _saq_rerank(
+            plan, params, queries, codes, cand, jnp.isfinite(s1), k, metric,
+            norms=norms, q_sq=q_sq,
+        )
     qp = jnp.dot(queries - 0.0, params.pca_rot, precision=jax.lax.Precision.HIGHEST)
     # q·x̂ = q·mean + Σ_s (q R)_s · ô_s   with (qR)_s the segment-rotated query
     q_mean = jnp.dot(queries, params.pca_mean, precision=jax.lax.Precision.HIGHEST)
@@ -558,19 +750,33 @@ def scan_topk(
         approx=True,
     )
     alive = jnp.isfinite(s1)  # pad/invalid rows carry -inf from stage 1
+    return _saq_rerank(
+        plan, params, queries, codes, cand, alive, k, metric,
+        norms=norms, q_sq=q_sq,
+    )
 
-    # ---- stage 2: exact rescore of the gathered candidates ---------------
-    rows = codes_p[cand.reshape(-1)]  # (Q·k1, bytes)
+
+def _saq_rerank(plan, params, queries, codes, cand, alive, k, metric,
+                norms=None, q_sq=None):
+    """Stage 2/3 of the pruning cascade: gather candidate rows, rescore
+    exactly with ALL segments (the TPU form of the reference's
+    compAccurateDist rescore, caq_estimator.h:152-180), merge to top-k.
+
+    cand (Q, k1) global row ids (< N); alive masks stage-1 −inf entries.
+    """
+    num_q, k1 = cand.shape
+    q_cat, mean_cat, q_mean, mean_sq = _packed_query_side(
+        plan, params, queries, tuple(range(plan.num_segments))
+    )
+    rows = codes[cand.reshape(-1)]  # (Q·k1, bytes)
     parts = _split_row(plan, rows)
     o_parts = []
-    for s in all_segs:
+    for s in range(plan.num_segments):
         packed, rescale, _nrm = parts[s]
         ln, b = plan.seg_lens[s], plan.seg_bits[s]
         idx = unpack_bits(packed, b, ln)
         o_parts.append(_seg_dequant(plan, params, s, idx, rescale))
     o_cat = jnp.concatenate(o_parts, axis=1).reshape(num_q, k1, -1)
-    q_cat = jnp.concatenate([q_segs[s] for s in all_segs], axis=1)
-    mean_cat = jnp.concatenate([mean_segs[s] for s in all_segs])
     ip_res = jnp.einsum(
         "ql,qkl->qk", q_cat.astype(jnp.float32), o_cat,
         precision=jax.lax.Precision.HIGHEST,
@@ -585,7 +791,9 @@ def scan_topk(
     elif metric == Metric.IP:
         s_val = ip
     else:
-        s_val = ip / jnp.maximum(norms_p[cand], 1e-30)
+        if norms is None:
+            raise ValueError("Metric.NIP requires original row norms")
+        s_val = ip / jnp.maximum(norms[cand], 1e-30)
     s_val = jnp.where(alive, s_val, -jnp.inf)
     ts, ti = jax.lax.top_k(s_val, min(k, k1))
     ids = jnp.take_along_axis(cand, ti, axis=-1)
@@ -620,12 +828,22 @@ class SAQ(BaseQuantizer):
         return lambda ct: decode(plan, params, ct)
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
-                  use_bf16=True, approx=False, prune_segments=0, rerank_factor=10):
+                  use_bf16=True, approx=False, prune_segments=0,
+                  rerank_factor=10, cache=None, num_valid=None):
         return scan_topk(
             self.plan, self.params, queries, codes, k, metric,
             norms=norms, tile_rows=tile_rows, use_bf16=use_bf16, approx=approx,
             prune_segments=prune_segments, rerank_factor=rerank_factor,
+            packed_cache=cache, num_valid=num_valid,
         )
+
+    def prepare_scan(self, codes, norms=None):
+        """Build the PackedCorpus scan cache (FlatQuantizedIndex calls this
+        once at fit; scan_topk(cache=...) then skips per-call repacking)."""
+        if not _packed_available(self.plan, self.params, 8):
+            return None
+        return prepare_packed(self.plan, self.params, jnp.asarray(codes),
+                              norms=norms)
 
     def code_bytes_per_vector(self) -> float:
         return float(self.plan.code_bytes)
