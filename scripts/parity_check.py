@@ -36,7 +36,11 @@ from vq_tpu.index.flat import FlatQuantizedIndex
 from vq_tpu.metrics.recall import recall_at_k
 
 # (label, quantizer factory, reference recall@10, reference recall@100)
-# reference values: logs/benchmark_runs.db demo runs (queried 2026-08-17)
+# reference values: logs/benchmark_runs.db demo runs (queried 2026-08-17).
+# Rows with ref=None are study variants the reference demo DB never ran
+# (engine derive_codebooks / exact codebooks / rankaware — reference
+# method_registry_saq.py:27-74); they are recorded for cross-round
+# regression tracking and sanity-ordered against their uniform baselines.
 KM = KMeansConfig(iters=20)
 GRID = [
     ("pq M=8 B=8",  lambda: _pq(8),  0.110, 0.0522),
@@ -46,8 +50,14 @@ GRID = [
     ("opq M=16 B=8", lambda: _opq(16), 0.108, 0.0608),
     ("sq 8-bit",    lambda: _sq(8),  0.984, 0.988),
     ("rabitq 1-bit", lambda: _rabitq(1), 0.398, 0.4358),
+    ("rabitq 4-bit (ext)", lambda: _rabitq(4), None, None),
     ("saq 4-bit",   lambda: _saq(4.0), 0.794, 0.8323),
     ("saq 8-bit",   lambda: _saq(8.0), 0.986, 0.989),
+    ("saq 4-bit lloyd ('ours')", lambda: _saq(4.0, "lloyd"), None, None),
+    ("saq 4-bit exact ('ours_exact')", lambda: _saq(4.0, "exact"), None, None),
+    ("rankaware 2-bit lloyd", lambda: _rankaware(2.0, "lloyd"), None, None),
+    ("rankaware 2-bit exact", lambda: _rankaware(2.0, "exact"), None, None),
+    ("rankaware 2-bit ffd", lambda: _rankaware(2.0, "lloyd", "ffd"), None, None),
 ]
 
 
@@ -75,10 +85,18 @@ def _rabitq(b):
     return RaBitQ(RaBitQConfig(num_bits=b))
 
 
-def _saq(bpd):
+def _saq(bpd, codebook="uniform"):
     from vq_tpu.methods.saq import SAQ
 
-    return SAQ(SAQConfig(bits_per_dim=bpd))
+    return SAQ(SAQConfig(bits_per_dim=bpd, codebook=codebook))
+
+
+def _rankaware(bpd, codebook="lloyd", packing="dense"):
+    from vq_tpu.core.config import RankAwareConfig
+    from vq_tpu.methods.rankaware import RankAware
+
+    return RankAware(RankAwareConfig(bits_per_dim=bpd, codebook=codebook,
+                                     packing=packing))
 
 
 def main() -> int:
@@ -95,26 +113,45 @@ def main() -> int:
         r10 = recall_at_k(data.ground_truth, ids, 10)
         r100 = recall_at_k(data.ground_truth, ids, 100)
         rows.append((label, r10, ref10, r100, ref100))
-        print(
-            f"{label:<16} R@10 {r10:.3f} (ref {ref10:.3f}, Δ {r10-ref10:+.3f})  "
-            f"R@100 {r100:.3f} (ref {ref100:.4f}, Δ {r100-ref100:+.3f})",
-            flush=True,
-        )
+        if ref10 is None:
+            print(f"{label:<32} R@10 {r10:.3f}  R@100 {r100:.3f}", flush=True)
+        else:
+            print(
+                f"{label:<32} R@10 {r10:.3f} (ref {ref10:.3f}, Δ {r10-ref10:+.3f})  "
+                f"R@100 {r100:.3f} (ref {ref100:.4f}, Δ {r100-ref100:+.3f})",
+                flush=True,
+            )
+
+    by_label = {r[0]: r[1] for r in rows}
+    # sanity orderings for the study variants (no recorded reference values):
+    # derived codebooks must not lose much to the uniform grid at equal bpd
+    assert by_label["saq 4-bit lloyd ('ours')"] >= by_label["saq 4-bit"] - 0.03
+    assert by_label["saq 4-bit exact ('ours_exact')"] >= by_label["saq 4-bit"] - 0.03
+    # ffd packing is a layout change only — identical codes, identical recall
+    assert abs(by_label["rankaware 2-bit ffd"]
+               - by_label["rankaware 2-bit lloyd"]) < 1e-9
 
     out = ["# Quality parity vs reference demo results",
            "",
            "Same data as the reference's logs/benchmark_runs.db demo runs",
            "(np.random.seed(42) gaussian, N=10000, D=1024, queries = first 100",
            "rows; reference data/datasets.py:79-82).  Reference values are the",
-           "recorded CPU/faiss results; ours are the TPU engine.",
+           "recorded CPU/faiss results; ours are the TPU engine.  Rows with",
+           "ref '—' are study variants the demo DB never ran, tracked for",
+           "cross-round regression.  On a TPU backend the saq/rankaware/rabitq",
+           "rows exercise the packed-word Pallas kernel (FlatQuantizedIndex",
+           "builds the PackedCorpus cache), so these are fused-path numbers.",
            "",
            "| config | vq_tpu R@10 | ref R@10 | Δ | vq_tpu R@100 | ref R@100 | Δ |",
            "|---|---|---|---|---|---|---|"]
     for label, r10, ref10, r100, ref100 in rows:
-        out.append(
-            f"| {label} | {r10:.3f} | {ref10:.3f} | {r10-ref10:+.3f} "
-            f"| {r100:.3f} | {ref100:.4f} | {r100-ref100:+.3f} |"
-        )
+        if ref10 is None:
+            out.append(f"| {label} | {r10:.3f} | — | — | {r100:.3f} | — | — |")
+        else:
+            out.append(
+                f"| {label} | {r10:.3f} | {ref10:.3f} | {r10-ref10:+.3f} "
+                f"| {r100:.3f} | {ref100:.4f} | {r100-ref100:+.3f} |"
+            )
     out += [
         "",
         "Notes:",

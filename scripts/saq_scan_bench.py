@@ -1,10 +1,33 @@
 #!/usr/bin/env python
-"""SAQ scan throughput on the real chip (the BENCH_NOTES SAQ table).
+"""SAQ scan-strategy crossover on the real chip (the BENCH_NOTES cascade
+table): dense packed scan vs in-kernel variance-prune (norm-ordered
+packing) vs head-segment prune+rerank, at N ∈ {1M, 4M, 10M}, D=1024,
+bpd ∈ {1, 2, 4}.
 
-Times the fused full scan and the prune+rerank cascade at the reference's
-SAQ demo geometry, with dependent in-jit repetition.
+This is the round-3 measurement the round-2 verdict asked for (dense vs
+cascade crossover at multi-million-row scale).  Corpus/queries are
+generated ON DEVICE in chunks (a 40 GB host transfer would dominate);
+plan/params are fit once per bpd on a 131k sample and reused across N, and
+the largest-N codes are encoded once with smaller N sliced as prefixes.
 
-Usage: python scripts/saq_scan_bench.py [N] [D] [Q] [bpd]
+Two corpus regimes:
+  iid      — iid power-law gaussian; row norms concentrate (chi_1024), so
+             no factor bound can separate tiles — the variance stage's
+             honest worst case.
+  lognorm  — per-row lognormal scale (mixed-source / unnormalized
+             embeddings); with the norm-ordered cache the bound fires.
+             Reported for mixed query batches and for norm-BANDED batches
+             (queries grouped by norm — a tile skip needs all resident
+             queries to agree, so banding is the serving-side lever).
+
+Quality is reported as top-10 overlap vs the dense packed scan (exact GT at
+10M would need the 40 GB raw corpus resident; dense↔var-prune equality is
+exact by construction).  bpd=4 at N=10M exceeds a single v5e's 16 GB HBM
+(5.3 GB byte rows + 5.1 GB packed words + concat transient) and is skipped
+— that shape is what dist/sharded_index.py is for.
+
+Usage: python scripts/saq_scan_bench.py [--fast] [--bpd 1,2,4]
+       [--n 1M,4M,10M] [--kind iid,lognorm]
 """
 
 from __future__ import annotations
@@ -17,65 +40,156 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+SIZES = {"1M": 1_048_576, "4M": 4_194_304, "10M": 10_485_760}
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from vq_tpu.core.config import Metric, SAQConfig
-    from vq_tpu.methods.saq import SAQ, scan_topk
-    from vq_tpu.kernels.adc import exact_topk
-    from vq_tpu.metrics.recall import recall_at_k
+    from vq_tpu.methods import saq as saq_mod
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    d = int(sys.argv[2]) if len(sys.argv) > 2 else 384
-    nq = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    bpd = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
-    k = 10
+    args = sys.argv[1:]
+    fast = "--fast" in args
 
-    rng = np.random.default_rng(0)
-    sigma = (1.0 + np.arange(d)) ** -0.75
-    x = (rng.standard_normal((n, d)) * sigma).astype(np.float32)
-    q = (x[rng.integers(0, n, nq)]
-         + 0.25 * sigma * rng.standard_normal((nq, d))).astype(np.float32)
+    def _get(flag, default):
+        return args[args.index(flag) + 1] if flag in args else default
 
-    qz = SAQ(SAQConfig(bits_per_dim=bpd)).fit(x)
-    codes = jnp.asarray(qz.compress(x))
-    qd, xd = jnp.asarray(q), jnp.asarray(x)
-    _, gt = exact_topk(qd, xd, k=k, metric=Metric.L2)
-    gt = np.asarray(gt)
+    bpds = [float(b) for b in _get("--bpd", "1,2,4").split(",")]
+    sizes = _get("--n", "1M,4M,10M").split(",")
+    kinds = _get("--kind", "iid,lognorm").split(",")
+    if fast:
+        bpds, sizes, kinds = [2.0], ["1M"], ["lognorm"]
+    d = 1024
+    nq, k = 256, 10
+    # rerank_factor: k1 = rf·k stage-1 candidates; the packed stage-1 keeps
+    # its running top-k in VMEM so k1 ≤ 128 (kernels/pallas_scan._KPAD)
+    rf = 12
 
-    def timed(fn, reps=10, tries=3):
+    sigma_np = ((1.0 + np.arange(d)) ** -0.6).astype(np.float32)
+    sigma = jnp.asarray(sigma_np)
+
+    def gen_chunk(seed, rows, kind):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.normal(key, (rows, d), jnp.float32) * sigma
+        if kind == "lognorm":
+            s = jnp.exp(0.5 * jax.random.normal(
+                jax.random.fold_in(key, 1), (rows, 1), jnp.float32))
+            x = x * s
+        return x
+
+    def timed(fn, reps, args, tries=3):
+        # big arrays must be jit ARGUMENTS: closed-over constants get
+        # serialized into the tunnel's remote_compile request (HTTP 413)
         @jax.jit
-        def loop():
+        def loop(z, *args):
             def body(_, acc):
-                s, i = fn(acc)
-                return acc + s[0, 0] * 1e-30
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+                out = fn(acc, *args)
+                return acc + out[0][0, 0] * 1e-30
+            return jax.lax.fori_loop(0, reps, body, z)
 
-        float(loop())
+        float(loop(jnp.float32(0), *args))
         best = float("inf")
         for _ in range(tries):
             t0 = time.perf_counter()
-            float(loop())
+            float(loop(jnp.float32(0), *args))
             best = min(best, time.perf_counter() - t0)
         return best / reps
 
-    plan, params = qz.plan, qz.params
+    print(f"| kind | bpd | N | strategy | ms/scan | QPS (Q={nq}) | "
+          "overlap@10 vs dense | tiles scanned |")
+    print("|---|---|---|---|---|---|---|---|")
+    for kind in kinds:
+        for bpd in bpds:
+            cfg = SAQConfig(bits_per_dim=bpd, use_pca=True)
+            xfit = gen_chunk(7, 131_072, kind)
+            plan, params = saq_mod.fit(jax.random.PRNGKey(0), xfit, cfg)
+            del xfit
+            enc = jax.jit(lambda x: saq_mod.encode(plan, params, x))
 
-    def full(acc):
-        return scan_topk(plan, params, qd + acc * 0, codes, k, Metric.L2)
+            n_max = max(SIZES[s] for s in sizes
+                        if not (bpd >= 4 and SIZES[s] > 4_194_304))
+            chunk = 131_072
+            code_chunks = []
+            q = q_banded = None
+            for i0 in range(0, n_max, chunk):
+                x = gen_chunk(100 + i0, min(chunk, n_max - i0), kind)
+                if q is None:
+                    qi = jax.random.randint(jax.random.PRNGKey(3), (nq,), 0,
+                                            x.shape[0])
+                    jit_noise = 0.1 * sigma * jax.random.normal(
+                        jax.random.PRNGKey(4), (nq, d), jnp.float32)
+                    q = x[qi] + jit_noise
+                    # norm-banded batch: the nq adjacent rows in norm order
+                    nrm = jnp.linalg.norm(x, axis=1)
+                    band = jnp.argsort(nrm)[: nq]
+                    q_banded = x[band] + jit_noise
+                code_chunks.append(enc(x))
+                del x
+            codes_full = jnp.concatenate(code_chunks, axis=0)
+            del code_chunks
 
-    def cascade(acc):
-        return scan_topk(plan, params, qd + acc * 0, codes, k, Metric.L2,
-                         prune_segments=1, rerank_factor=2000 // k)
+            for s in sizes:
+                n = SIZES[s]
+                if n > n_max:
+                    print(f"| {kind} | {bpd:g} | {s} | — | skipped: >16 GB "
+                          "HBM at this bpd (sharded-index territory) | | | |")
+                    continue
+                codes = codes_full[:n]
+                reps = max(2, min(10, (1 << 22) // (n >> 8)))
 
-    for name, fn in [("full", full), ("prune+rerank", cascade)]:
-        t = timed(fn)
-        _, ids = fn(jnp.float32(0))
-        r = recall_at_k(gt, np.asarray(ids), k)
-        print(f"{name:<14} {t*1e3:7.2f} ms/scan  {nq/t:9.0f} qps  recall@10 {r:.4f}",
-              flush=True)
+                def dense(acc, q, codes, cache):
+                    return saq_mod._packed_scan(
+                        plan, params, q + acc * 0, cache, k, Metric.L2)
+
+                def vprune(acc, q, codes, cache):
+                    return saq_mod._packed_scan(
+                        plan, params, q + acc * 0, cache, k, Metric.L2,
+                        prune=True)
+
+                def headprune(acc, q, codes, cache):
+                    return saq_mod.scan_topk(
+                        plan, params, q + acc * 0, codes, k, Metric.L2,
+                        prune_segments=1, rerank_factor=rf,
+                        packed_cache=cache, use_packed=True)
+
+                def run_one(name, fn, qq, cache, i_dense, nb, raw):
+                    # raw=True: fn is the bare kernel — map sorted scan
+                    # positions back to corpus ids through perm
+                    t = timed(fn, reps, (qq, codes, cache))
+                    out = fn(jnp.float32(0), qq, codes, cache)
+                    ids = out[1]
+                    if raw and cache.perm is not None:
+                        ids = jnp.take(cache.perm, ids)
+                    ids = np.asarray(ids)
+                    ov = np.mean([
+                        len(set(ids[j]) & set(i_dense[j])) / k
+                        for j in range(nq)
+                    ])
+                    scanned = int(out[2]) if len(out) > 2 else nb
+                    print(f"| {kind} | {bpd:g} | {s} | {name} | {t*1e3:.2f} | "
+                          f"{nq/t:.0f} | {ov:.4f} | {scanned}/{nb} |",
+                          flush=True)
+
+                cache = saq_mod.prepare_packed(plan, params, codes)
+                nb = cache.factors.shape[0] // 512
+                i_dense = np.asarray(
+                    dense(jnp.float32(0), q, codes, cache)[1])
+                run_one("dense", dense, q, cache, i_dense, nb, raw=True)
+                run_one("head-prune+rerank", headprune, q, cache, i_dense,
+                        nb, raw=False)
+                i_dense_b = np.asarray(
+                    dense(jnp.float32(0), q_banded, codes, cache)[1])
+                del cache
+                cache_s = saq_mod.prepare_packed(plan, params, codes,
+                                                 sort_rows=True)
+                run_one("var-prune sorted (mixed q)", vprune, q, cache_s,
+                        i_dense, nb, raw=True)
+                run_one("var-prune sorted (banded q)", vprune, q_banded,
+                        cache_s, i_dense_b, nb, raw=True)
+                del cache_s, codes
+            del codes_full
 
 
 if __name__ == "__main__":

@@ -71,3 +71,27 @@ def test_flat_index_memory_footprint():
     fp = idx.memory_footprint()
     # codes 4 B/vec + norms 4 B/vec + codebooks 4*256*8*4 B
     assert fp == 1000 * 4 + 1000 * 4 + 4 * 256 * 8 * 4
+
+
+def test_flat_index_save_load_saq_rankaware(tmp_path):
+    """Regression (round-2 advisor): FlatQuantizedIndex.load() crashed for
+    quantizers whose state lives outside `params` (SAQ plan, RankAware
+    bits/layout) because _state pickled params only.  The whole quantizer is
+    pickled now; search-after-restore must match exactly."""
+    from vq_tpu.core.config import RankAwareConfig, SAQConfig
+    from vq_tpu.methods.rankaware import RankAware
+    from vq_tpu.methods.saq import SAQ
+
+    data = load_dummy_dataset(num_vectors=800, dim=32, num_queries=8, seed=6)
+    for make in (
+        lambda: SAQ(SAQConfig(bits_per_dim=2.0)),
+        lambda: RankAware(RankAwareConfig(bits_per_dim=2.0)),
+    ):
+        idx = FlatQuantizedIndex(make()).fit(data.vectors)
+        ids, scores = idx.search_with_scores(data.queries, k=5)
+        path = str(tmp_path / f"flat_{idx.quantizer.name}.pkl")
+        idx.save(path)
+        idx2 = FlatQuantizedIndex(make()).load(path)
+        ids2, scores2 = idx2.search_with_scores(data.queries, k=5)
+        np.testing.assert_array_equal(ids, ids2)
+        np.testing.assert_allclose(scores, scores2, rtol=1e-5)

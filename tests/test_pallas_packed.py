@@ -1,7 +1,11 @@
 """Packed-word Pallas kernel (kernels/pallas_packed.py) vs the XLA scans.
 
-All kernel runs use interpret mode (CPU); on-TPU compiled-mode equality is
-asserted by bench.py / scripts/parity_check.py at 512-multiple shapes.
+All kernel runs here use interpret mode (CPU).  Compiled-mode equality on
+the real chip is asserted by bench.py's `assert_ok` check (packed kernel vs
+XLA fallback, bit-identical ids at 512-multiple shapes, every bench run) —
+interpret-mode equality alone is NOT sufficient evidence: a real
+compiled-only Mosaic mis-DMA was found on v5e (see choose_beff and
+test_choose_beff_avoids_skinny_16row_blocks below).
 """
 
 import jax.numpy as jnp
@@ -190,3 +194,204 @@ def test_saq_packed_cascade_matches_dense_recall():
         for j in range(12)
     ])
     assert overlap >= 0.8, overlap
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP])
+def test_saq_variance_prune_matches_dense(metric):
+    """The in-kernel variance-prune stage (varsEstDist analog) is exact:
+    identical ids/scores to the unpruned packed scan, f32 path."""
+    rng = np.random.default_rng(17)
+    m, x, codes = _mk_saq(rng, n=1536, d=48)
+    q = rng.standard_normal((8, 48)).astype(np.float32)
+    cache = saq_mod.prepare_packed(m.plan, m.params, codes)
+    assert cache.tile_stats is not None and cache.tile_stats.shape == (3, 3)
+
+    s_ref, i_ref = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 10, metric,
+        use_bf16=False, use_packed=True, interpret=True, packed_cache=cache,
+        prune_tiles=False,
+    )
+    s_pr, i_pr = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 10, metric,
+        use_bf16=False, use_packed=True, interpret=True, packed_cache=cache,
+        prune_tiles=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pr), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s_pr), np.asarray(s_ref), rtol=1e-6)
+
+
+def test_saq_variance_prune_skips_hopeless_tiles():
+    """Corpus with one tile of near neighbors and two tiles of far rows:
+    after the first tile fills the top-k, the far tiles' factor bound loses
+    and the kernel skips them (scanned count < tile count)."""
+    rng = np.random.default_rng(23)
+    d = 48
+    base = rng.standard_normal((512, d)).astype(np.float32)
+    far = 50.0 + 5.0 * rng.standard_normal((1024, d)).astype(np.float32)
+    x = np.concatenate([base, far]).astype(np.float32)
+    cfg = SAQConfig(bits_per_dim=4.0, use_pca=False)
+    m = saq_mod.SAQ(cfg)
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    cache = saq_mod.prepare_packed(m.plan, m.params, codes)
+    q = jnp.asarray(base[:8] + 0.01 * rng.standard_normal((8, d)),
+                    jnp.float32)
+
+    outs, outi, scanned = saq_mod._packed_scan(
+        m.plan, m.params, q, cache, 10, Metric.L2, interpret=True,
+        use_bf16=False, prune=True,
+    )
+    assert int(scanned) < 3, int(scanned)  # far tiles skipped
+    s_ref, i_ref = saq_mod.scan_topk(
+        m.plan, m.params, q, codes, 10, Metric.L2, use_bf16=False,
+        use_packed=True, interpret=True, prune_tiles=False,
+    )
+    from vq_tpu.kernels.adc import _finalize
+
+    s_pr, i_pr = _finalize(outs, outi, Metric.L2, jnp.sum(q * q, axis=-1))
+    np.testing.assert_array_equal(np.asarray(i_pr), np.asarray(i_ref))
+
+
+def test_rabitq_variance_prune_matches_dense():
+    from vq_tpu.core.config import RaBitQConfig
+    from vq_tpu.methods import rabitq as rb_mod
+
+    rng = np.random.default_rng(29)
+    x = rng.standard_normal((1024, 40)).astype(np.float32)
+    m = rb_mod.RaBitQ(RaBitQConfig(num_bits=4))
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    cache = rb_mod.prepare_packed(m.params, codes, 4)
+    assert cache.tile_stats is not None
+    q = jnp.asarray(rng.standard_normal((8, 40)), jnp.float32)
+    s_ref, i_ref = rb_mod.scan_topk(
+        m.params, q, codes, 10, Metric.L2, 4, use_bf16=False,
+        use_packed=True, interpret=True, packed_cache=cache,
+        prune_tiles=False,
+    )
+    s_pr, i_pr = rb_mod.scan_topk(
+        m.params, q, codes, 10, Metric.L2, 4, use_bf16=False,
+        use_packed=True, interpret=True, packed_cache=cache,
+        prune_tiles=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pr), np.asarray(i_ref))
+
+
+def test_rankaware_variance_prune_matches_dense():
+    from vq_tpu.core.config import RankAwareConfig
+    from vq_tpu.methods import rankaware as ra_mod
+
+    rng = np.random.default_rng(31)
+    x = (rng.standard_normal((1024, 40)) * (1.0 + np.arange(40))[::-1]
+         ).astype(np.float32)
+    m = ra_mod.RankAware(RankAwareConfig(bits_per_dim=2.0))
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    q = jnp.asarray(rng.standard_normal((8, 40)), jnp.float32)
+    s_ref, i_ref = m.scan_topk(q, codes, 10, Metric.L2, use_bf16=False,
+                               use_packed=True, interpret=True,
+                               prune_tiles=False)
+    s_pr, i_pr = m.scan_topk(q, codes, 10, Metric.L2, use_bf16=False,
+                             use_packed=True, interpret=True,
+                             prune_tiles=True)
+    np.testing.assert_array_equal(np.asarray(i_pr), np.asarray(i_ref))
+
+
+def test_nip_refuses_normless_packed_cache():
+    """A PackedCorpus built without real norms must be rejected for NIP
+    instead of silently returning un-normalized scores."""
+    rng = np.random.default_rng(37)
+    m, x, codes = _mk_saq(rng)
+    q = jnp.asarray(rng.standard_normal((4, x.shape[1])), jnp.float32)
+    cache = saq_mod.prepare_packed(m.plan, m.params, codes)  # no norms
+    assert not cache.has_norms
+    with pytest.raises(ValueError, match="norms"):
+        saq_mod.scan_topk(
+            m.plan, m.params, q, codes, 5, Metric.NIP,
+            norms=jnp.linalg.norm(jnp.asarray(x), axis=-1),
+            use_packed=True, interpret=True, packed_cache=cache,
+        )
+    with pytest.raises(ValueError, match="norms"):
+        saq_mod.scan_topk(
+            m.plan, m.params, q, codes, 5, Metric.NIP,
+            use_packed=True, interpret=True,
+        )
+
+
+def test_saq_packed_high_bits_derived_codebook():
+    """B=7/8 derived-codebook segments stay on the fused path (select-sum
+    unrolls 2^B in-kernel selects; gate raised to max_bits=8 — VERDICT r2
+    missing #8).  Equality vs the XLA scan at bpd=7.5, codebook=lloyd."""
+    from vq_tpu.kernels.pallas_packed import packed_scan_available
+
+    rng = np.random.default_rng(41)
+    m, x, codes = _mk_saq(rng, n=640, d=32, bpd=7.5, codebook="lloyd")
+    assert max(m.plan.seg_bits) >= 7, m.plan
+    segs, lv = saq_mod.packed_segspecs(m.plan, m.params)
+    # the gate no longer rejects B=7/8 on bit width (backend check aside)
+    for seg in segs:
+        assert seg.bits <= 8
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    s_ref, i_ref = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 8, Metric.L2,
+        use_bf16=False, use_packed=False,
+    )
+    s_pk, i_pk = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 8, Metric.L2,
+        use_bf16=False, use_packed=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_pk), np.asarray(s_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_saq_sorted_cache_matches_unsorted():
+    """Norm-ordered packing (sort_rows): ids map back through perm, results
+    identical to the unsorted cache; num_valid is refused."""
+    rng = np.random.default_rng(43)
+    # heterogeneous norms so the sort actually reorders
+    scale = np.exp(rng.standard_normal(1536) * 0.5)[:, None]
+    x = (rng.standard_normal((1536, 48)) * scale).astype(np.float32)
+    cfg = SAQConfig(bits_per_dim=3.0, use_pca=False)
+    m = saq_mod.SAQ(cfg)
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    q = jnp.asarray(rng.standard_normal((8, 48)), jnp.float32)
+
+    plain = saq_mod.prepare_packed(m.plan, m.params, codes)
+    srt = saq_mod.prepare_packed(m.plan, m.params, codes, sort_rows=True)
+    assert srt.perm is not None
+    assert srt.prune_hint  # heterogeneous norms → the bound can fire
+
+    s_u, i_u = saq_mod.scan_topk(
+        m.plan, m.params, q, codes, 10, Metric.L2, use_bf16=False,
+        use_packed=True, interpret=True, packed_cache=plain,
+        prune_tiles=False,
+    )
+    for prune in (False, True):
+        s_s, i_s = saq_mod.scan_topk(
+            m.plan, m.params, q, codes, 10, Metric.L2, use_bf16=False,
+            use_packed=True, interpret=True, packed_cache=srt,
+            prune_tiles=prune,
+        )
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_u))
+        np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_u),
+                                   rtol=1e-5)
+    # sorted + heterogeneous → the prune stage actually skips tiles when
+    # the query batch sits in ONE norm band (a skip needs every resident
+    # query to agree, so mixed-norm batches scan everything)
+    low = np.argsort(np.linalg.norm(x, axis=1))[:4]
+    qn = jnp.asarray(x[low], jnp.float32)
+    _, _, scanned = saq_mod._packed_scan(
+        m.plan, m.params, qn, srt, 10, Metric.L2, interpret=True,
+        use_bf16=False, prune=True,
+    )
+    assert int(scanned) < srt.factors.shape[0] // 512
+
+    with pytest.raises(ValueError, match="num_valid"):
+        saq_mod.scan_topk(
+            m.plan, m.params, q, codes, 10, Metric.L2, use_bf16=False,
+            use_packed=True, interpret=True, packed_cache=srt,
+            num_valid=jnp.int32(100),
+        )

@@ -180,6 +180,10 @@ class SearchConfig:
     # (~2x faster scan at ≥0.99 within-tile recall; cross-tile merge stays
     # exact).  Default False: fully exact ranking.
     approx: bool = False
+    # Expected query-batch size for prepare_scan's VMEM availability gate
+    # (the packed-kernel cache is built iff a batch of this size fits; larger
+    # live batches fall back to the XLA scan with the cache unused).
+    prepare_queries: int = 8
 
 
 def asdict(cfg) -> dict:

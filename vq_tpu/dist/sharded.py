@@ -65,34 +65,81 @@ def sharded_scan_topk(
     true_n: Optional[int] = None,
     tile_rows: int = 2048,
     use_bf16: bool = True,
+    overlap_chunks: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC search over a row-sharded PQ corpus with cross-chip top-k merge.
 
     codes (N_pad, M) must be row-sharded with N_pad divisible by the mesh;
     `true_n` masks the pad rows (global ids ≥ true_n never surface).
     Returns replicated (Q, k) scores/ids with GLOBAL row ids.
+
+    overlap_chunks > 1 overlaps the cross-shard merge with the scan
+    (SURVEY.md §5 long-context row): the local shard is scanned in C
+    chunks inside a lax.scan, each chunk's (Q, k) local top-k is
+    all_gather-merged into the running result, and because chunk c+1's
+    scan does not depend on chunk c's merge, XLA's async collectives hide
+    each tiny (Q, P·k) gather behind the next chunk's MXU work — instead
+    of one all_gather serialized after the entire local scan.  Exact:
+    every chunk's candidates pass through the merge.
     """
     n_pad = codes.shape[0]
     true_n = true_n if true_n is not None else n_pad
     has_norms = norms is not None
     if metric == Metric.NIP and not has_norms:
         raise ValueError("Metric.NIP requires norms")
+    n_local_g = n_pad // mesh.devices.size
+    chunks = max(1, min(overlap_chunks, n_local_g))
+    while n_local_g % chunks:
+        chunks -= 1
 
     def local(q, codes_l, cb, norms_l):
         shard = jax.lax.axis_index(DATA_AXIS)
         n_local = codes_l.shape[0]
-        # pad rows live at the global tail → mask inside the local scan so
-        # they never occupy candidate slots
-        nv = jnp.clip(true_n - shard * n_local, 0, n_local)
-        s, i = scan_codes_topk(
-            q, codes_l, cb, k, metric=metric,
-            norms=norms_l if has_norms else None,
-            tile_rows=tile_rows, use_bf16=use_bf16, num_valid=nv,
+
+        def scan_rows(codes_c, norms_c, row0):
+            # pad rows live at the global tail → mask inside the local scan
+            # so they never occupy candidate slots
+            nv = jnp.clip(true_n - shard * n_local - row0, 0,
+                          codes_c.shape[0])
+            s, i = scan_codes_topk(
+                q, codes_c, cb, k, metric=metric,
+                norms=norms_c if has_norms else None,
+                tile_rows=tile_rows, use_bf16=use_bf16, num_valid=nv,
+            )
+            gid = i + shard * n_local + row0
+            bad = gid >= true_n
+            s = jnp.where(bad, jnp.inf if metric == Metric.L2 else -jnp.inf, s)
+            return s, gid
+
+        if chunks == 1:
+            s, gid = scan_rows(codes_l, norms_l, 0)
+            return _merge_local_topk(s, gid, k, metric)
+
+        csz = n_local // chunks
+        num_q = q.shape[0]
+
+        def step(carry, c):
+            run_s, run_i = carry  # maximize-form, replicated-merged so far
+            row0 = c * csz
+            s, gid = scan_rows(
+                jax.lax.dynamic_slice_in_dim(codes_l, row0, csz, axis=0),
+                jax.lax.dynamic_slice_in_dim(norms_l, row0, csz, axis=0),
+                row0,
+            )
+            smax = s if metric != Metric.L2 else -s
+            g_s = jax.lax.all_gather(smax, DATA_AXIS, axis=1, tiled=True)
+            g_i = jax.lax.all_gather(gid, DATA_AXIS, axis=1, tiled=True)
+            cat_s = jnp.concatenate([run_s, g_s], axis=1)
+            cat_i = jnp.concatenate([run_i, g_i], axis=1)
+            ms, mi = jax.lax.top_k(cat_s, k)
+            return (ms, jnp.take_along_axis(cat_i, mi, axis=-1)), None
+
+        init = (
+            jnp.full((num_q, k), -jnp.inf, jnp.float32),
+            jnp.zeros((num_q, k), jnp.int32),
         )
-        gid = i + shard * n_local
-        bad = gid >= true_n
-        s = jnp.where(bad, jnp.inf if metric == Metric.L2 else -jnp.inf, s)
-        return _merge_local_topk(s, gid, k, metric)
+        (ms, mi), _ = jax.lax.scan(step, init, jnp.arange(chunks))
+        return (ms if metric != Metric.L2 else -ms), mi
 
     if not has_norms:
         norms = jnp.ones((n_pad,), dtype=jnp.float32)

@@ -49,7 +49,8 @@ class FlatQuantizedIndex(BaseSearchIndex):
         # scan-optimized layout (kernels/pallas_packed.py PackedCorpus) —
         # built once here so the hot search path never re-parses byte rows
         self._scan_cache = self.quantizer.prepare_scan(
-            self.codes, norms=self.norms
+            self.codes, norms=self.norms,
+            num_queries=getattr(self.search_cfg, "prepare_queries", 8),
         )
         return self
 
@@ -83,32 +84,26 @@ class FlatQuantizedIndex(BaseSearchIndex):
     def _state(self) -> dict:
         import pickle
 
+        # Pickle the WHOLE quantizer (as IvfQuantizedIndex does): SAQ's plan
+        # and RankAware's bits/layout live outside `params`, and a params-only
+        # snapshot made load() crash in prepare_scan for those methods.
         return {
             "codes": np.asarray(self.codes),
             "norms": np.asarray(self.norms),
             "num_rows": self.num_rows,
-            "quantizer": pickle.dumps(
-                {
-                    "cls": type(self.quantizer),
-                    "cfg": getattr(self.quantizer, "cfg", None),
-                    "dim": self.quantizer.dim,
-                    "params": jax.tree_util.tree_map(np.asarray, self.quantizer.params),
-                }
-            ),
+            "quantizer": pickle.dumps(self.quantizer),
             "search_cfg": self.search_cfg,
         }
 
     def _restore(self, state: dict) -> None:
         import pickle
 
-        qz = pickle.loads(state["quantizer"])
-        self.quantizer = qz["cls"](qz["cfg"]) if qz["cfg"] is not None else qz["cls"]()
-        self.quantizer._dim = qz["dim"]
-        self.quantizer.params = jax.tree_util.tree_map(jnp.asarray, qz["params"])
+        self.quantizer = pickle.loads(state["quantizer"])
         self.codes = jnp.asarray(state["codes"])
         self.norms = jnp.asarray(state["norms"])
         self.num_rows = state["num_rows"]
         self.search_cfg = state["search_cfg"]
         self._scan_cache = self.quantizer.prepare_scan(
-            self.codes, norms=self.norms
+            self.codes, norms=self.norms,
+            num_queries=getattr(self.search_cfg, "prepare_queries", 8),
         )

@@ -10,13 +10,18 @@ RaBitQ → IVF+RaBitQ, SAQ → the engine's index).
 TPU-first layout (SURVEY.md §7.3 "ragged IVF lists"): rows are sorted by
 cluster into CSR form (codes_sorted, ids_sorted, offsets); search
   1. scores all K centroids with one MXU matmul and takes top-nprobe,
-  2. gathers each probed cluster as a fixed-size `max_cluster` window via
-     vmapped dynamic slices (padding masked),
+  2. streams each probed list in fixed `chunk`-row windows inside a
+     lax.while_loop whose trip count is the LARGEST PROBED size this
+     batch (scan_probed_lists) — peak memory is Q_block·nprobe·chunk
+     decoded rows, not nprobe·max_cluster, and work adapts to the probed
+     sizes instead of the global maximum,
   3. rescores candidates against the query's per-cluster RESIDUAL with the
      quantizer's jax decode, entirely on device,
-  4. top-k over the (nprobe · max_cluster) candidate strip per query.
-Cluster-size padding is bounded by sorting cells; the Pallas bucketed list
-scan replaces step 2-3 at pod scale.
+  4. folds every window into a running top-k per query.
+Queries run in fixed-size blocks so the decoded-window buffer stays
+bounded at serving batch sizes.  decompress() reconstructs any row by
+GLOBAL id (residual decode + centroid add), the reference engine's
+IVF::decompress (external/saq/src/ivf_index.cpp:245-374).
 """
 
 from __future__ import annotations
@@ -32,6 +37,97 @@ from vq_tpu.core.config import IVFConfig, Metric, SearchConfig
 from vq_tpu.index.base import BaseSearchIndex
 from vq_tpu.kernels.kmeans import assign, kmeans, pairwise_sqdist_xc
 from vq_tpu.methods.base import BaseQuantizer
+
+
+def scan_probed_lists(
+    q: jax.Array,
+    probes: jax.Array,
+    centroids: jax.Array,
+    codes_sorted: jax.Array,
+    ids_sorted: jax.Array,
+    norms_sorted: jax.Array,
+    offsets: jax.Array,
+    sizes: jax.Array,
+    decode_fn,
+    k: int,
+    metric: Metric,
+    chunk: int = 512,
+    probe_mask: Optional[jax.Array] = None,
+):
+    """Scan the probed inverted lists in bounded windows → maximize-form
+    (scores (Q, k), global ids (Q, k)).
+
+    The memory-bounded replacement for the fixed max_cluster window: a
+    lax.while_loop walks each probed list `chunk` rows at a time and stops
+    at the largest size actually probed by THIS query batch, folding each
+    window into a running top-k.  Peak live memory is the (Q, P, chunk)
+    decoded window; one skewed cluster costs extra iterations only for the
+    queries that probe it, never a bigger buffer.  (Reference scale path:
+    per-cluster heap scans, external/saq/src/ivf_index.cpp:28-194.)
+
+    probes (Q, P) int32; probe_mask (Q, P) bool optionally disables probes
+    (the sharded IVF masks lists owned by other devices).  codes/ids/norms
+    must carry ≥ chunk rows of tail padding so window slices never run off
+    the array (fit() pads).  Scores for masked/invalid rows are −inf.
+    """
+    num_q, p_cnt = probes.shape
+    qr = q[:, None, :] - centroids[probes]  # (Q, P, D) residual queries
+    qr_sq = jnp.sum(qr * qr, axis=-1)  # (Q, P)
+    q_cent = jnp.einsum("qd,qpd->qp", q, centroids[probes],
+                        precision=jax.lax.Precision.HIGHEST)
+    starts = offsets[probes]  # (Q, P)
+    szs = sizes[probes]  # (Q, P)
+    if probe_mask is not None:
+        szs = jnp.where(probe_mask, szs, 0)
+    max_sz = jnp.max(szs)
+
+    def window(c, run_s, run_i):
+        off = c * chunk
+
+        def per_probe(start, size, qr_1, qr_sq_1, q_cent_1):
+            ct = jax.lax.dynamic_slice_in_dim(
+                codes_sorted, start + off, chunk, axis=0)
+            rid = jax.lax.dynamic_slice_in_dim(
+                ids_sorted, start + off, chunk, axis=0)
+            nrm = jax.lax.dynamic_slice_in_dim(
+                norms_sorted, start + off, chunk, axis=0)
+            r_hat = decode_fn(ct)  # (chunk, D)
+            ip_r = jnp.dot(r_hat, qr_1, precision=jax.lax.Precision.HIGHEST)
+            if metric == Metric.L2:
+                rsq = jnp.sum(r_hat * r_hat, axis=1)
+                s = -(qr_sq_1 - 2.0 * ip_r + rsq)
+            elif metric == Metric.IP:
+                s = ip_r + q_cent_1
+            else:
+                s = (ip_r + q_cent_1) / jnp.maximum(nrm, 1e-30)
+            valid = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0] \
+                < (size - off)
+            return jnp.where(valid, s, -jnp.inf), rid
+
+        s_all, id_all = jax.vmap(jax.vmap(per_probe))(
+            starts, szs, qr, qr_sq, q_cent
+        )  # (Q, P, chunk)
+        cat_s = jnp.concatenate([run_s, s_all.reshape(num_q, -1)], axis=1)
+        cat_i = jnp.concatenate([run_i, id_all.reshape(num_q, -1)], axis=1)
+        ms, mi = jax.lax.top_k(cat_s, k)
+        return ms, jnp.take_along_axis(cat_i, mi, axis=-1)
+
+    init = (
+        jnp.zeros((1,), jnp.int32),
+        jnp.full((num_q, k), -jnp.inf, jnp.float32),
+        jnp.zeros((num_q, k), jnp.int32),
+    )
+
+    def cond(carry):
+        return carry[0][0] * chunk < max_sz
+
+    def body(carry):
+        c, run_s, run_i = carry
+        run_s, run_i = window(c[0], run_s, run_i)
+        return (c + 1, run_s, run_i)
+
+    _, run_s, run_i = jax.lax.while_loop(cond, body, init)
+    return run_s, run_i
 
 
 class IvfQuantizedIndex(BaseSearchIndex):
@@ -74,8 +170,10 @@ class IvfQuantizedIndex(BaseSearchIndex):
         codes = self.quantizer.compress(residuals[order])
 
         self.max_cluster = int(sizes.max())
-        # pad the tail so a fixed-size window slice never runs off the array
-        pad = self.max_cluster
+        # pad the tail so a window slice never runs off the array (valid
+        # windows read ≤ chunk rows past a cluster's end; see
+        # scan_probed_lists)
+        pad = max(self.max_cluster, 512) + 512
         self.codes_sorted = jnp.asarray(
             np.pad(codes, ((0, pad),) + ((0, 0),) * (codes.ndim - 1))
         )
@@ -91,16 +189,34 @@ class IvfQuantizedIndex(BaseSearchIndex):
         )
         self.offsets = jnp.asarray(offsets.astype(np.int32))
         self.sizes = jnp.asarray(sizes.astype(np.int32))
+        # inverse permutation: global row id → position in the sorted layout
+        # (decompress-by-id, reference ivf_index.cpp:245-374)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        self._inv_perm = inv
+        self._assignment = assignment
         self.num_rows = n
         return self
 
+    # --------------------------------------------------------- decompress
+    def decompress(self, ids: np.ndarray) -> np.ndarray:
+        """Reconstruct rows by GLOBAL id: residual decode + centroid add —
+        the engine's IVF::decompress (external/saq/src/ivf_index.cpp:
+        245-374: dequantize raw codes, un-rotate per segment, restore norm,
+        inverse PCA — all of which the quantizer's own decode performs)."""
+        ids = np.asarray(ids).reshape(-1)
+        pos = self._inv_perm[ids]
+        rows = np.asarray(self.codes_sorted)[pos]
+        res = self.quantizer.decompress(rows)
+        cents = np.asarray(self.centroids)[self._assignment[ids]]
+        return res + cents
+
     # --------------------------------------------------------------- search
     def _search_device(
-        self, queries: jax.Array, k: int, nprobe: int
+        self, queries: jax.Array, k: int, nprobe: int, chunk: int = 512
     ) -> Tuple[jax.Array, jax.Array]:
         metric = self.search_cfg.metric
         decode_fn = self.quantizer.decode_fn()
-        cap = self.max_cluster
         centroids = self.centroids
         codes = self.codes_sorted
         ids = self.ids_sorted
@@ -113,39 +229,10 @@ class IvfQuantizedIndex(BaseSearchIndex):
             q = q.astype(jnp.float32)
             cd = pairwise_sqdist_xc(q, centroids)  # (Q, K)
             _, probe = jax.lax.top_k(-cd, np_)  # nearest centroids (Q, P)
-
-            def per_query(qi, probes):
-                def per_cluster(c):
-                    start = offsets[c]
-                    size = sizes[c]
-                    ct = jax.lax.dynamic_slice_in_dim(codes, start, cap, axis=0)
-                    rid = jax.lax.dynamic_slice_in_dim(ids, start, cap, axis=0)
-                    nrm = jax.lax.dynamic_slice_in_dim(norms, start, cap, axis=0)
-                    r_hat = decode_fn(ct)  # (cap, D) residual reconstruction
-                    cent = centroids[c]
-                    qr = qi - cent
-                    ip_r = jnp.dot(r_hat, qr, precision=jax.lax.Precision.HIGHEST)
-                    if metric == Metric.L2:
-                        # ‖q − c − r̂‖² ranked by −(‖r̂‖² − 2 qr·r̂) + const(c)
-                        rsq = jnp.sum(r_hat * r_hat, axis=1)
-                        qr_sq = jnp.sum(qr * qr)
-                        s = -(qr_sq - 2.0 * ip_r + rsq)
-                    elif metric == Metric.IP:
-                        s = ip_r + jnp.dot(qi, cent)
-                    else:
-                        s = (ip_r + jnp.dot(qi, cent)) / jnp.maximum(nrm, 1e-30)
-                    valid = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0] < size
-                    s = jnp.where(valid, s, -jnp.inf)
-                    return s, rid
-
-                s_all, id_all = jax.vmap(per_cluster)(probes)  # (P, cap)
-                s_flat = s_all.reshape(-1)
-                id_flat = id_all.reshape(-1)
-                kk_eff = min(kk, s_flat.shape[0])
-                ts, ti = jax.lax.top_k(s_flat, kk_eff)
-                return ts, id_flat[ti]
-
-            ts, ti = jax.vmap(per_query)(q, probe)
+            ts, ti = scan_probed_lists(
+                q, probe, centroids, codes, ids, norms, offsets, sizes,
+                decode_fn, kk, metric, chunk=chunk,
+            )
             if metric == Metric.L2:
                 ts = -ts
             return ts, ti
@@ -153,12 +240,17 @@ class IvfQuantizedIndex(BaseSearchIndex):
         return run(queries, kk=k, np_=nprobe)
 
     def search_with_scores(
-        self, queries: np.ndarray, k: int = 10
+        self, queries: np.ndarray, k: int = 10, query_block: int = 256
     ) -> Tuple[np.ndarray, np.ndarray]:
         nprobe = min(self.ivf_cfg.nprobe, self.centroids.shape[0])
-        scores, ids = self._search_device(jnp.asarray(queries), k, nprobe)
-        ids = np.asarray(ids)
-        scores = np.asarray(scores)
+        q = jnp.asarray(queries)
+        # fixed-size query blocks bound the decoded-window buffer at
+        # (block, nprobe, chunk) rows regardless of the serving batch
+        outs = []
+        for i0 in range(0, q.shape[0], query_block):
+            outs.append(self._search_device(q[i0 : i0 + query_block], k, nprobe))
+        scores = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+        ids = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
         ids = np.where(ids < 0, 0, ids)  # pad guard (masked scores are ±inf)
         return ids.astype(np.uint32), scores
 
@@ -196,6 +288,8 @@ class IvfQuantizedIndex(BaseSearchIndex):
             "ivf_cfg": self.ivf_cfg,
             "search_cfg": self.search_cfg,
             "quantizer": pickle.dumps(self.quantizer),
+            "inv_perm": self._inv_perm,
+            "assignment": self._assignment,
         }
 
     def _restore(self, state: dict) -> None:
@@ -209,3 +303,5 @@ class IvfQuantizedIndex(BaseSearchIndex):
         self.num_rows = state["num_rows"]
         self.ivf_cfg = state["ivf_cfg"]
         self.search_cfg = state["search_cfg"]
+        self._inv_perm = state.get("inv_perm")
+        self._assignment = state.get("assignment")

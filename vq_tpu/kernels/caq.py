@@ -38,9 +38,13 @@ class CAQCode(NamedTuple):
     rescale: jax.Array  # (N,) — multiply dequantized unit-grid ô to estimate o
     o_l2norm: jax.Array  # (N,) — ‖o‖ (error-bound factor, kept for parity)
     # ε-bound on the IP estimation error (reference caq_encoder.h:220-232):
-    # fac_error = ‖o‖²·ε·sqrt((‖o‖²‖ô‖²/⟨o,ô⟩² − 1)/(D−1)); the |⟨q,o⟩ −
-    # rescale·⟨q,ô⟩| ≤ fac_error·‖q‖/‖o‖ confidence bound the pruning
-    # cascade's variance stage consumes.
+    # fac_error = ‖o‖²·ε·sqrt((‖o‖²‖ô‖²/⟨o,ô⟩² − 1)/(D−1)), giving
+    # |⟨q,o⟩ − rescale·⟨q,ô⟩| ≤ fac_error·‖q‖/‖o‖.  The byte-row format
+    # stores only (rescale, o_l2norm) — 2 floats/segment, the engine's
+    # layout — and methods/saq.prepare_packed RECONSTRUCTS this bound from
+    # them (⟨o,r̂⟩=‖o‖² ⟹ cos²=‖o‖²/‖r̂‖²) as the variance-prune stage's
+    # keep-margin (kernels/pallas_packed.py module docstring).  This field
+    # is the encoder-side value, used by tests to validate the bound.
     fac_error: jax.Array  # (N,)
 
 

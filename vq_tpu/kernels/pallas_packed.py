@@ -33,6 +33,45 @@ Score assembly families:
   "rabitq" — unbiased estimator: α = ‖r‖√D/(t‖ŝ‖²), q·x̂ = α(qP)·ŝ + q·c
 Both emit the same maximize-form contract as kernels/adc.py, so _finalize
 and recall paths are shared.
+
+Variance-prune stage (prune=True): the TPU analog of the reference
+searcher's stage-1 `varsEstDist` block skip (external/saq/include/saq/
+saq_searcher.h:83-104, caq_estimator.h:95-115), which bounds each 32-row
+block's distance from the stored o_l2norm factor alone and skips blocks
+that cannot beat the running kth distance.  Here the block is a 512-row
+grid tile: `tile_stats[t] = (min ‖r̂‖, max ‖r̂‖, max CAQ-error-margin)`
+over the tile's rows — derived at pack time from the stored per-row
+factors (caq_encoder.h:26 fac_error ≡ ‖o‖·ε·√((‖r̂‖²/‖o‖²−1)/(D−1)),
+reconstructed from rescale/o_l2norm, see methods/saq.prepare_packed) —
+and the per-query prune row is `qprune[q] = (A_q, B_q)` with A the
+additive term and B = ‖q̃‖.  Cauchy-Schwarz gives a true upper bound on
+every maximize-form score in the tile; for the seg family the L2 bound
+is the tight interval form (dist ≥ qdrop² + min_{r∈[rmin,rmax]} (B−r)²,
+with A = q² − qdrop² − B²):
+
+    L2 seg:    s ≤ A + B² − (B − clamp(B, rmin, rmax))² + 2·B·margin
+    L2 rabitq: s ≤ A − rmin² + 2·B·(rmax + margin)
+    IP:        s ≤ A + B·(rmax + margin)
+
+The bound only has teeth when tiles differ in their norm envelopes, so
+builders can NORM-ORDER the corpus (PackedCorpus.perm) — the flat-scan
+analog of the reference's per-cluster norm locality — and emit a
+prune_hint so homogeneous corpora skip the stage's bookkeeping.
+
+When the bound is below the running kth score for EVERY resident query,
+the whole tile's unpack/dequant/matmul/fold work is skipped under
+`pl.when` (the tile DMA still streams — Pallas prefetch is index-mapped —
+so the win is compute, which dominates this kernel).  Because the bound
+is exact w.r.t. the scores the kernel folds, pruning never changes the
+result (up to bf16 rounding of the matmul); unlike the reference's
+4σ-heuristic `vars·m` bound it cannot drop true candidates.  The
+max_margin column consumes fac_error: it widens the keep-region by the
+CAQ estimator's certified |⟨q,o⟩ − ⟨q,r̂⟩| ≤ ‖q̃‖·Σ_s fac_error_s/‖o_s‖
+bound, so a tile is kept whenever its TRUE inner products (not just the
+quantized estimates) could still matter.  (The reference stores
+fac_error in ExFactor but never reads it in any search path —
+cluster_packer.h:77 is write-only; this margin is where it becomes
+load-bearing here.)
 """
 
 from __future__ import annotations
@@ -98,7 +137,8 @@ class SegSpec(NamedTuple):
         return 32 // self.beff
 
 
-class PackedCorpus(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class PackedCorpus:
     """Scan-optimized corpus layout: row-interleaved words + factors.
 
     The TPU analog of the reference's ClusterPacker fastscan layout
@@ -107,11 +147,50 @@ class PackedCorpus(NamedTuple):
     once per index (FlatQuantizedIndex caches it via prepare_scan) so the
     hot scan never re-parses byte rows.  Rows are padded to a 512 multiple;
     `num_rows` masks the tail.  words[s] has shape (N_pad/u_s, ln_s).
+
+    tile_stats (N_pad/512, 3) f32 — per-tile (min ‖r̂‖², max ‖r̂‖,
+    max CAQ error margin) feeding the variance-prune stage (module
+    docstring); None when the builder skipped them.
+
+    perm (N_pad,) i32 — set when the builder NORM-ORDERED the rows (sorted
+    by reconstruction norm so tiles are norm-homogeneous and the
+    variance-prune bound has teeth; the TPU analog of the reference's
+    per-cluster locality).  Scan positions then differ from corpus row ids;
+    scan wrappers map results through perm afterwards.  A permuted corpus
+    cannot honor `num_valid` prefix masking — builders only sort when the
+    caller allows it.
+
+    Registered as a pytree with (num_rows, has_norms, prune_hint) as STATIC
+    aux data so a PackedCorpus can cross jit boundaries as an argument while
+    python control flow on those fields keeps working.  has_norms records
+    whether REAL original row norms were baked into the norm factors column
+    — Metric.NIP must refuse a cache built without them.  prune_hint is the
+    builder's measured heterogeneity verdict: False means the tile bounds
+    are too uniform to ever fire, so auto mode skips the (small) prune
+    overhead.
     """
 
-    words: Tuple[jax.Array, ...]
-    factors: jax.Array  # (N_pad512, F) f32
-    num_rows: int
+    def __init__(self, words, factors, num_rows, tile_stats=None,
+                 has_norms=False, perm=None, prune_hint=False):
+        self.words = tuple(words)
+        self.factors = factors
+        self.num_rows = num_rows
+        self.tile_stats = tile_stats
+        self.has_norms = has_norms
+        self.perm = perm
+        self.prune_hint = prune_hint
+
+    def tree_flatten(self):
+        children = (self.words, self.factors, self.tile_stats, self.perm)
+        aux = (self.num_rows, self.has_norms, self.prune_hint)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        words, factors, tile_stats, perm = children
+        num_rows, has_norms, prune_hint = aux
+        return cls(words, factors, num_rows, tile_stats=tile_stats,
+                   has_norms=has_norms, perm=perm, prune_hint=prune_hint)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "beff"))
@@ -169,24 +248,44 @@ def _dequant_seg(idx: jax.Array, seg: SegSpec, lv_ref, fac, f32) -> jax.Array:
 
 
 def _packed_kernel(
-    limit_ref, q_ref, qa_ref, mean_ref, fac_ref, *rest,
+    limit_ref, *rest,
     segs: Tuple[SegSpec, ...], n_lv: int, k: int, nb: int, tile: int,
     family: str, metric_kind: str, norm_col: int, nrm_col: int, t_col: int,
-    sqrt_d: float, use_bf16: bool,
+    sqrt_d: float, use_bf16: bool, prune: bool,
 ):
     """One grid step: unpack+dequant `tile` rows, score, fold running top-k.
 
     limit_ref (1,) i32 SMEM — rows with global id ≥ limit score −inf
+    [stats_ref (nb, 3) f32 SMEM — per-tile prune stats, prune=True only]
     q_ref   (Q, D)          — pre-rotated queries (resident)
     qa_ref  (Q, 1) f32      — per-query additive term (see callers)
+    [qpr_ref (Q, 2) f32     — per-query (A, B) prune row, prune=True only]
     mean_ref (1, D) f32     — mean/centroid in code space (L2 cross term)
     fac_ref (tile, F) f32   — per-row factors
-    rest = per-segment words refs ((tile/u_s, ln_s) i32), then n_lv level
-           tables, then outs/outi (HBM), then run_s/run_i (Q, _KPAD) VMEM
+    rest continues: per-segment words refs ((tile/u_s, ln_s) i32), then n_lv
+    level tables, then outs/outi [+ outn (1,1) i32 tiles-scanned count when
+    prune] (HBM), then run_s/run_i (Q, _KPAD) VMEM [+ cnt (1,) i32 SMEM]
     """
-    word_refs = rest[: len(segs)]
-    lv_refs = rest[len(segs) : len(segs) + n_lv]
-    outs_ref, outi_ref, run_s_ref, run_i_ref = rest[len(segs) + n_lv :]
+    pos = 0
+    stats_ref = None
+    if prune:
+        stats_ref = rest[pos]
+        pos += 1
+    q_ref, qa_ref = rest[pos], rest[pos + 1]
+    pos += 2
+    qpr_ref = None
+    if prune:
+        qpr_ref = rest[pos]
+        pos += 1
+    mean_ref, fac_ref = rest[pos], rest[pos + 1]
+    pos += 2
+    word_refs = rest[pos : pos + len(segs)]
+    lv_refs = rest[pos + len(segs) : pos + len(segs) + n_lv]
+    tail = rest[pos + len(segs) + n_lv :]
+    if prune:
+        outs_ref, outi_ref, outn_ref, run_s_ref, run_i_ref, cnt_ref = tail
+    else:
+        outs_ref, outi_ref, run_s_ref, run_i_ref = tail
     f32 = jnp.float32
     step = pl.program_id(0)
     num_q = q_ref.shape[0]
@@ -195,75 +294,122 @@ def _packed_kernel(
     def _init():
         run_s_ref[:] = jnp.full((num_q, _KPAD), -jnp.inf, dtype=f32)
         run_i_ref[:] = jnp.zeros((num_q, _KPAD), dtype=jnp.int32)
+        if prune:
+            cnt_ref[0] = 0
 
-    fac = fac_ref[:]
-    parts = []
-    li = 0
-    for s, seg in enumerate(segs):
-        idx = _unpack_words(word_refs[s][:], seg)
-        lv = None
-        if seg.dequant != "uniform":
-            lv = lv_refs[li]
-            li += 1
-        parts.append(_dequant_seg(idx, seg, lv, fac, f32))
-    ohat = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    if use_bf16:
-        ip = jnp.dot(q_ref[:], ohat.astype(jnp.bfloat16).T,
-                     preferred_element_type=f32)  # (Q, T)
+    if prune:
+        # stage-1 variance/factor bound (module docstring): tile upper bound
+        # on every query's best maximize-form score vs the running kth.
+        # stats_ref is the TRANSPOSED (3, nb) stats in SMEM: SMEM pads per
+        # ROW, so (nb, 3) would cost nb padded rows (1 MB SMEM blown at
+        # N=1M) while (3, nb) costs three.
+        rmin = stats_ref[0, step]
+        rmax = stats_ref[1, step]
+        me = stats_ref[2, step]  # CAQ error margin (×‖q̃‖)
+        a = qpr_ref[:, 0]
+        b = qpr_ref[:, 1]
+        if metric_kind == "l2" and family == "seg":
+            # interval bound: dist ≥ qdrop² + min_{r∈[rmin,rmax]} (B−r)²,
+            # and a = q² − qdrop² − B², so s ≤ a + B² − (B−clamp(B))²
+            c = jnp.clip(b, rmin, rmax)
+            s_ub = a + b * b - (b - c) * (b - c) + 2.0 * b * me
+        elif metric_kind == "l2":
+            # rabitq: the −‖r‖² term and the Cauchy-Schwarz scale α‖ŝ‖
+            # come from different factors, so no perfect square — use the
+            # loose endpoint form
+            s_ub = a - rmin * rmin + 2.0 * b * (rmax + me)
+        else:
+            s_ub = a + b * (rmax + me)
+        kth = run_s_ref[:, k - 1]  # (Q,) current kth-best (−inf until full)
+        go = jnp.any(s_ub >= kth)
+        cnt_ref[0] = cnt_ref[0] + jnp.where(go, 1, 0)
     else:
-        # TPU f32 dots silently degrade to bf16 without HIGHEST (CLAUDE.md);
-        # Mosaic lowers this to the multi-pass f32 MXU emulation
-        ip = jax.lax.dot_general(
-            q_ref[:], ohat, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=f32,
-        )
-    qa = qa_ref[:]  # (Q, 1)
+        go = None
 
-    if family == "rabitq":
-        snorm = jnp.sum(ohat * ohat, axis=1)  # ‖ŝ‖² (T,)
-        nrm = fac[:, nrm_col]
-        tt = fac[:, t_col]
-        alpha = nrm * f32(sqrt_d) / jnp.maximum(tt * snorm, f32(1e-12))
-        if metric_kind == "l2":
-            # centroid cross term as broadcast-mul + row reduce (Mosaic has
-            # no general mat-vec contraction; this is the native VPU form)
-            cdot = jnp.sum(ohat * mean_ref[:], axis=1)
-            s = (2.0 * alpha)[None, :] * ip + qa - (
-                2.0 * alpha * cdot + nrm * nrm
-            )[None, :]
-        elif metric_kind == "ip":
-            s = alpha[None, :] * ip + qa
-        else:  # nip
-            s = (alpha[None, :] * ip + qa) / jnp.maximum(
-                fac[:, norm_col], f32(1e-30)
-            )[None, :]
-    else:  # "seg"
-        if metric_kind == "l2":
-            res_sq = jnp.sum(ohat * ohat, axis=1)  # ‖r̂‖² (T,)
-            md = jnp.sum(ohat * mean_ref[:], axis=1)  # mean·r̂ (T,)
-            s = 2.0 * ip + qa - (2.0 * md + res_sq)[None, :]
-        elif metric_kind == "ip":
-            s = ip + qa
-        else:  # nip
-            s = (ip + qa) / jnp.maximum(fac[:, norm_col], f32(1e-30))[None, :]
+    def _scan_tile():
+        fac = fac_ref[:]
+        parts = []
+        li = 0
+        for s, seg in enumerate(segs):
+            idx = _unpack_words(word_refs[s][:], seg)
+            lv = None
+            if seg.dequant != "uniform":
+                lv = lv_refs[li]
+                li += 1
+            parts.append(_dequant_seg(idx, seg, lv, fac, f32))
+        ohat = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        if use_bf16:
+            ip = jnp.dot(q_ref[:], ohat.astype(jnp.bfloat16).T,
+                         preferred_element_type=f32)  # (Q, T)
+        else:
+            # TPU f32 dots silently degrade to bf16 without HIGHEST
+            # (CLAUDE.md); Mosaic lowers this to the multi-pass f32 MXU
+            # emulation
+            ip = jax.lax.dot_general(
+                q_ref[:], ohat, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f32,
+            )
+        qa = qa_ref[:]  # (Q, 1)
 
-    start = step * tile
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (num_q, tile), 1) + start
-    s = jnp.where(col_ids < limit_ref[0], s, -jnp.inf)
-    fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
+        if family == "rabitq":
+            snorm = jnp.sum(ohat * ohat, axis=1)  # ‖ŝ‖² (T,)
+            nrm = fac[:, nrm_col]
+            tt = fac[:, t_col]
+            alpha = nrm * f32(sqrt_d) / jnp.maximum(tt * snorm, f32(1e-12))
+            if metric_kind == "l2":
+                # centroid cross term as broadcast-mul + row reduce (Mosaic
+                # has no general mat-vec contraction; this is the native VPU
+                # form)
+                cdot = jnp.sum(ohat * mean_ref[:], axis=1)
+                s = (2.0 * alpha)[None, :] * ip + qa - (
+                    2.0 * alpha * cdot + nrm * nrm
+                )[None, :]
+            elif metric_kind == "ip":
+                s = alpha[None, :] * ip + qa
+            else:  # nip
+                s = (alpha[None, :] * ip + qa) / jnp.maximum(
+                    fac[:, norm_col], f32(1e-30)
+                )[None, :]
+        else:  # "seg"
+            if metric_kind == "l2":
+                res_sq = jnp.sum(ohat * ohat, axis=1)  # ‖r̂‖² (T,)
+                md = jnp.sum(ohat * mean_ref[:], axis=1)  # mean·r̂ (T,)
+                s = 2.0 * ip + qa - (2.0 * md + res_sq)[None, :]
+            elif metric_kind == "ip":
+                s = ip + qa
+            else:  # nip
+                s = (ip + qa) / jnp.maximum(
+                    fac[:, norm_col], f32(1e-30)
+                )[None, :]
+
+        start = step * tile
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (num_q, tile), 1) + start
+        s = jnp.where(col_ids < limit_ref[0], s, -jnp.inf)
+        fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
+
+    if prune:
+        pl.when(go)(_scan_tile)
+    else:
+        _scan_tile()
 
     @pl.when(step == nb - 1)
     def _emit():
         outs_ref[:] = run_s_ref[:]
         outi_ref[:] = run_i_ref[:]
+        if prune:
+            outn_ref[0, 0] = cnt_ref[0]
+
+
+_TILE = 512  # rows per grid step; pinned — SegSpec beff choices (choose_beff)
+# and the Mosaic mis-DMA geometry guard are validated against this value.
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "segs", "k", "tile", "family", "metric_kind", "norm_col", "nrm_col",
-        "t_col", "sqrt_d", "interpret", "use_bf16",
+        "segs", "k", "family", "metric_kind", "norm_col", "nrm_col",
+        "t_col", "sqrt_d", "interpret", "use_bf16", "prune",
     ),
 )
 def packed_scan_topk(
@@ -275,7 +421,6 @@ def packed_scan_topk(
     lv_tables: Tuple[jax.Array, ...],
     segs: Tuple[SegSpec, ...],
     k: int,
-    tile: int = 512,
     family: str = "seg",
     metric_kind: str = "l2",
     norm_col: int = -1,
@@ -285,18 +430,27 @@ def packed_scan_topk(
     limit: Optional[jax.Array] = None,
     interpret: bool = False,
     use_bf16: bool = True,
+    prune: bool = False,
+    tile_stats: Optional[jax.Array] = None,
+    qprune: Optional[jax.Array] = None,
 ):
     """Fused unpack+dequant+score+top-k → ((Q, k) maximize-form, (Q, k) i32).
 
     q_cat   (Q, D) queries pre-rotated into code space (D = Σ ln_s)
     qa      (Q,) per-query additive term (mean/centroid ip, const folded)
     mean_cat(D,) mean/centroid in code space (zeros unless L2)
-    words   per-segment (N/u_s, ln_s) int32 — N % tile == 0 (pad rows
+    words   per-segment (N/u_s, ln_s) int32 — N % 512 == 0 (pad rows
             masked via `limit`)
     factors (N, F) f32 per-row factors
     lv_tables — one per non-uniform segment, in segment order:
               (ln_s, 2^B) for "perdim", (1, 2^B) for "shared"
+    prune   — enable the stage-1 variance/factor tile skip (module
+              docstring); requires tile_stats (N/512, 3) f32 and qprune
+              (Q, 2) f32, and returns a THIRD element: the number of
+              tiles actually scanned (i32 scalar) for QueryRuntimeMetrics
+              parity (reference caq_estimator.h:33-37).
     """
+    tile = _TILE
     num_q, d = q_cat.shape
     n = factors.shape[0]
     assert n % tile == 0 and 0 < k <= min(_KPAD, tile), (n, tile, k)
@@ -309,13 +463,17 @@ def packed_scan_topk(
     nb = n // tile
     f32 = jnp.float32
     mm_dt = jnp.bfloat16 if use_bf16 else f32
+    if prune:
+        assert tile_stats is not None and qprune is not None
+        assert tile_stats.shape == (nb, 3), (tile_stats.shape, nb)
+        assert qprune.shape == (num_q, 2), qprune.shape
 
     lim = jnp.full((1,), n if limit is None else limit, dtype=jnp.int32)
     kernel = functools.partial(
         _packed_kernel, segs=segs, n_lv=n_lv, k=k, nb=nb, tile=tile,
         family=family, metric_kind=metric_kind, norm_col=norm_col,
         nrm_col=nrm_col, t_col=t_col, sqrt_d=float(sqrt_d),
-        use_bf16=use_bf16,
+        use_bf16=use_bf16, prune=prune,
     )
 
     def _wspec(seg):
@@ -328,57 +486,82 @@ def packed_scan_topk(
         pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for t in lv_tables
     ]
-    outs, outi = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_q, _KPAD), f32),
-            jax.ShapeDtypeStruct((num_q, _KPAD), jnp.int32),
-        ),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, nf), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
-        + word_specs
-        + lv_specs,
-        out_specs=(
-            pl.BlockSpec((num_q, _KPAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_q, _KPAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((num_q, _KPAD), f32),
-            pltpu.VMEM((num_q, _KPAD), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(
-        lim,
-        q_cat.astype(mm_dt),
-        qa.reshape(num_q, 1).astype(f32),
+    out_shape = [
+        jax.ShapeDtypeStruct((num_q, _KPAD), f32),
+        jax.ShapeDtypeStruct((num_q, _KPAD), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((num_q, _KPAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_q, _KPAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((num_q, _KPAD), f32),
+        pltpu.VMEM((num_q, _KPAD), jnp.int32),
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [lim]
+    if prune:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(tile_stats.astype(f32).T)  # (3, nb) — see kernel note
+    in_specs += [
+        pl.BlockSpec((num_q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [q_cat.astype(mm_dt), qa.reshape(num_q, 1).astype(f32)]
+    if prune:
+        in_specs.append(
+            pl.BlockSpec((num_q, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(qprune.astype(f32))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        scratch.append(pltpu.SMEM((1,), jnp.int32))
+    in_specs += [
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, nf), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + word_specs + lv_specs
+    inputs += [
         mean_cat.reshape(1, d).astype(f32),
         factors.astype(f32),
         *words,
         *[t.astype(f32) for t in lv_tables],
-    )
+    ]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if prune:
+        outs, outi, outn = out
+        return outs[:, :k], outi[:, :k], outn[0, 0]
+    outs, outi = out
     return outs[:, :k], outi[:, :k]
 
 
 def packed_scan_available(
     segs: Sequence[SegSpec], num_q: int, d: int, nf: int,
-    lv_sizes: Sequence[int], tile: int = 512, max_bits: int = 6,
+    lv_sizes: Sequence[int], tile: int = 512, max_bits: int = 8,
 ) -> bool:
-    """Gate: TPU backend, select-sum-friendly bit widths, VMEM budget.
+    """Gate: TPU backend, select-sum bit widths, VMEM budget.
 
-    Level lookups unroll 2^B VPU select ops per non-uniform segment, so
-    B > max_bits (64 levels) routes back to the XLA scan.  The VMEM model
-    counts resident queries, the per-tile words/factors/dequant values, the
-    (Q, tile) score tile and the top-k working set, against the raised
-    100 MB scoped-vmem limit (with double-buffering headroom)."""
+    Level lookups unroll 2^B VPU select ops per non-uniform segment.  Up to
+    B=8 (256 selects) stays in-kernel so derived-codebook SAQ at high bpd
+    keeps the fused path (the reference's fastscan covers all widths via
+    code_helper.h function tables); the select-sum VPU cost grows 2^B-fold,
+    so B=7/8 segments trade VPU time for staying fused — measured against
+    the XLA fallback in BENCH_NOTES.md.  The VMEM model counts resident
+    queries, the per-tile words/factors/dequant values, the (Q, tile) score
+    tile and the top-k working set, against the raised 100 MB scoped-vmem
+    limit (with double-buffering headroom)."""
     if jax.default_backend() != "tpu":
         return False
     for seg in segs:

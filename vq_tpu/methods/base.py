@@ -79,11 +79,17 @@ class BaseQuantizer:
             use_bf16, approx=approx, num_valid=num_valid,
         )
 
-    def prepare_scan(self, codes, norms=None):
+    def prepare_scan(self, codes, norms=None, num_queries=8):
         """Optionally build a scan-optimized corpus layout (e.g. the packed
         bitplane words of kernels/pallas_packed.py).  Indexes call this once
         at fit and pass the result back via scan_topk(cache=...); the default
-        None means "scan the stored rows directly"."""
+        None means "scan the stored rows directly".
+
+        num_queries — the query-batch size the VMEM availability gate models
+        (kernel VMEM scales with resident queries).  If searches later arrive
+        with much larger batches than the cache was gated for, the packed
+        path may fall back to the XLA scan and the cache sits unused in HBM;
+        size the hint to the serving batch (SearchConfig.prepare_queries)."""
         return None
 
     @property

@@ -145,15 +145,34 @@ def prepare_packed(
         idx = unpack_bits(rows[:, :ib], num_bits, d)
         nrm = bytes_to_f32(rows[:, ib : ib + 4])
         t = bytes_to_f32(rows[:, ib + 4 : ib + 8])
-        return pack_words(idx, num_bits, beff), jnp.stack([nrm, t], axis=1)
+        # variance-prune stats: the estimator's effective residual scale is
+        # α‖ŝ‖ = ‖r‖·√D/(t·‖ŝ‖); ‖r‖² is the exact residual norm² term in
+        # the L2 score (methods/saq._tile_stats contract: min r², max r)
+        s_hat = params.levels[idx]
+        snorm = jnp.sqrt(jnp.sum(s_hat * s_hat, axis=1))
+        r_eff = nrm * jnp.sqrt(jnp.float32(d)) / jnp.maximum(
+            t * snorm, 1e-12
+        )
+        return pack_words(idx, num_bits, beff), jnp.stack([nrm, t], axis=1), r_eff
 
-    w_chunks, f_chunks = [], []
+    w_chunks, f_chunks, r_chunks = [], [], []
     for i0 in range(0, n_pad, row_chunk):
-        w, f = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
+        w, f, r = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
         w_chunks.append(w)
         f_chunks.append(f)
+        r_chunks.append(r)
     words = jnp.concatenate(w_chunks, axis=0) if len(w_chunks) > 1 else w_chunks[0]
     fac = jnp.concatenate(f_chunks, axis=0) if len(f_chunks) > 1 else f_chunks[0]
+    r_eff = jnp.concatenate(r_chunks, axis=0) if len(r_chunks) > 1 else r_chunks[0]
+    # min/max columns: min over rows of ‖r‖ (the −nrm² score term), max of
+    # the Cauchy-Schwarz scale α‖ŝ‖; no CAQ margin for this estimator
+    valid = jnp.arange(n_pad) < n
+    min_r = jnp.where(valid, fac[:, 0], jnp.inf).reshape(-1, 512).min(axis=1)
+    min_r = jnp.where(jnp.isfinite(min_r), min_r, 0.0)
+    max_r = jnp.where(valid, r_eff, 0.0).reshape(-1, 512).max(axis=1)
+    stats = jnp.stack(
+        [min_r, max_r, jnp.zeros_like(max_r)], axis=1
+    ).astype(jnp.float32)
     nrm_col = (
         jnp.ones((n, 1), jnp.float32)
         if norms is None
@@ -162,11 +181,16 @@ def prepare_packed(
     if pad:
         nrm_col = jnp.pad(nrm_col, ((0, pad), (0, 0)), constant_values=1.0)
     fac = jnp.concatenate([fac, nrm_col], axis=1)
-    return PackedCorpus(words=(words,), factors=fac, num_rows=n)
+    from vq_tpu.methods.saq import prune_hint_from_stats
+
+    return PackedCorpus(words=(words,), factors=fac, num_rows=n,
+                        tile_stats=stats, has_norms=norms is not None,
+                        prune_hint=prune_hint_from_stats(stats))
 
 
 def _packed_scan(params, queries, packed, k, metric, num_bits,
-                 num_valid=None, interpret=False, use_bf16=True):
+                 num_valid=None, interpret=False, use_bf16=True,
+                 prune=False):
     from vq_tpu.kernels.pallas_packed import packed_scan_topk
 
     d = params.centroid.shape[0]
@@ -188,11 +212,19 @@ def _packed_scan(params, queries, packed, k, metric, num_bits,
         packed.num_rows, num_valid
     )
     lv = params.levels.reshape(1, -1)
+    qprune = None
+    if prune:
+        assert metric != Metric.NIP and packed.tile_stats is not None
+        b = jnp.linalg.norm(
+            (qr - cr[None, :]) if metric == Metric.L2 else qr, axis=1
+        )
+        qprune = jnp.stack([qa, b], axis=1)
     return packed_scan_topk(
         q_cat, qa, mean_cat, packed.words, packed.factors, (lv,), (seg,), k,
         family="rabitq", metric_kind=kind, norm_col=2, nrm_col=0, t_col=1,
         sqrt_d=float(np.sqrt(d)), limit=limit, interpret=interpret,
-        use_bf16=use_bf16,
+        use_bf16=use_bf16, prune=prune,
+        tile_stats=packed.tile_stats if prune else None, qprune=qprune,
     )
 
 
@@ -201,7 +233,7 @@ def _packed_available(d, num_bits, num_q, interpret=False):
 
     seg = _packed_segspec(d, num_bits)
     ok = packed_scan_available((seg,), num_q, d, 3, [1 << num_bits])
-    return ok or (interpret and num_bits <= 6)
+    return ok or (interpret and num_bits <= 8)
 
 
 def scan_topk(
@@ -219,9 +251,11 @@ def scan_topk(
     packed_cache=None,
     use_packed: Optional[bool] = None,
     interpret: bool = False,
+    prune_tiles: Optional[bool] = None,
 ):
     """Fused RaBitQ scan: rotated queries, per-tile bit-unpack + level
-    lookup + MXU scoring; no per-tile D×D rotation."""
+    lookup + MXU scoring; no per-tile D×D rotation.  prune_tiles enables
+    the packed kernel's variance-prune stage (auto when stats exist)."""
     d = params.centroid.shape[0]
     ib = packed_bytes(d, num_bits)
     n = codes.shape[0]
@@ -238,14 +272,34 @@ def scan_topk(
     if use_packed:
         from vq_tpu.kernels.adc import _finalize as _fin
 
+        if metric == Metric.NIP:
+            if packed_cache is not None and not packed_cache.has_norms:
+                raise ValueError(
+                    "Metric.NIP needs a packed cache built with norms"
+                )
+            if packed_cache is None and norms is None:
+                raise ValueError("Metric.NIP requires original row norms")
         packed = packed_cache if packed_cache is not None else prepare_packed(
             params, codes, num_bits,
             norms=norms if metric == Metric.NIP else None,
         )
-        outs, outi = _packed_scan(
-            params, queries, packed, k, metric, num_bits,
-            num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+        prune = (
+            prune_tiles
+            if prune_tiles is not None
+            else (packed.tile_stats is not None and packed.prune_hint
+                  and metric != Metric.NIP)
         )
+        if prune:
+            outs, outi, _ = _packed_scan(
+                params, queries, packed, k, metric, num_bits,
+                num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+                prune=True,
+            )
+        else:
+            outs, outi = _packed_scan(
+                params, queries, packed, k, metric, num_bits,
+                num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+            )
         return _fin(outs, outi, metric,
                     jnp.sum(queries * queries, axis=-1))
     dt = jnp.bfloat16 if use_bf16 else jnp.float32
@@ -328,15 +382,16 @@ class RaBitQ(BaseQuantizer):
         return lambda ct: decode(params, ct, bits)
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
-                  use_bf16=True, approx=False, cache=None, num_valid=None):
+                  use_bf16=True, approx=False, cache=None, num_valid=None,
+                  prune_tiles=None):
         return scan_topk(
             self.params, queries, codes, k, metric, self.cfg.num_bits,
             norms=norms, tile_rows=tile_rows, use_bf16=use_bf16, approx=approx,
-            packed_cache=cache, num_valid=num_valid,
+            packed_cache=cache, num_valid=num_valid, prune_tiles=prune_tiles,
         )
 
-    def prepare_scan(self, codes, norms=None):
-        if not _packed_available(self._dim, self.cfg.num_bits, 8):
+    def prepare_scan(self, codes, norms=None, num_queries=8):
+        if not _packed_available(self._dim, self.cfg.num_bits, num_queries):
             return None
         return prepare_packed(self.params, jnp.asarray(codes),
                               self.cfg.num_bits, norms=norms)

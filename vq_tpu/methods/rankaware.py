@@ -230,20 +230,34 @@ def prepare_packed(params, bits, layout, codes, packing: str,
             idx = ffd_decode_codes(rows, layout)
         else:
             idx = dense_decode_codes(rows, bits)
+        # ‖ŷ‖² over allocated dims feeds the variance-prune tile stats
+        y_hat = _dequantize_y(params, idx)
+        rsq = jnp.zeros((rows.shape[0],), jnp.float32)
+        for st, ln, _b in runs:
+            seg = y_hat[:, st : st + ln]
+            rsq = rsq + jnp.sum(seg * seg, axis=1)
         return tuple(
             pack_words(idx[:, st : st + ln], b, seg.beff)
             for (st, ln, b), seg in zip(runs, segspecs)
-        )
+        ), rsq
 
-    w_chunks = [
+    chunks = [
         convert(codes[i0 : min(i0 + row_chunk, n_pad)])
         for i0 in range(0, n_pad, row_chunk)
     ]
+    w_chunks = [c[0] for c in chunks]
     words = tuple(
         jnp.concatenate([c[s] for c in w_chunks], axis=0)
         if len(w_chunks) > 1 else w_chunks[0][s]
         for s in range(len(runs))
     )
+    rhat_sq = (
+        jnp.concatenate([c[1] for c in chunks], axis=0)
+        if len(chunks) > 1 else chunks[0][1]
+    )
+    from vq_tpu.methods.saq import _tile_stats, prune_hint_from_stats
+
+    stats = _tile_stats(rhat_sq, jnp.zeros_like(rhat_sq), n)
     fac = (
         jnp.ones((n, 1), jnp.float32)
         if norms is None
@@ -251,11 +265,14 @@ def prepare_packed(params, bits, layout, codes, packing: str,
     )
     if pad:
         fac = jnp.pad(fac, ((0, pad), (0, 0)), constant_values=1.0)
-    return PackedCorpus(words=words, factors=fac, num_rows=n)
+    return PackedCorpus(words=words, factors=fac, num_rows=n,
+                        tile_stats=stats, has_norms=norms is not None,
+                        prune_hint=prune_hint_from_stats(stats))
 
 
 def _packed_scan(params, bits, queries, packed, k, metric,
-                 num_valid=None, interpret=False, use_bf16=True):
+                 num_valid=None, interpret=False, use_bf16=True,
+                 prune=False):
     from vq_tpu.kernels.pallas_packed import packed_scan_topk
 
     segs, lv_tables, dim_slices = _packed_segspecs(params, bits)
@@ -277,10 +294,19 @@ def _packed_scan(params, bits, queries, packed, k, metric,
     limit = packed.num_rows if num_valid is None else jnp.minimum(
         packed.num_rows, num_valid
     )
+    qprune = None
+    if prune:
+        assert metric != Metric.NIP and packed.tile_stats is not None
+        b = jnp.linalg.norm(
+            (q_cat - mean_cat[None, :]) if metric == Metric.L2 else q_cat,
+            axis=1,
+        )
+        qprune = jnp.stack([qa, b], axis=1)
     return packed_scan_topk(
         q_cat, qa, mean_cat, packed.words, packed.factors, lv_tables, segs, k,
         family="seg", metric_kind=kind, norm_col=0, limit=limit,
-        interpret=interpret, use_bf16=use_bf16,
+        interpret=interpret, use_bf16=use_bf16, prune=prune,
+        tile_stats=packed.tile_stats if prune else None, qprune=qprune,
     )
 
 
@@ -294,7 +320,7 @@ def _packed_available(params, bits, num_q, interpret=False):
     ok = packed_scan_available(
         segs, num_q, d, 1, [int(np.prod(t.shape)) for t in lv_tables]
     )
-    return ok or (interpret and all(s.bits <= 6 for s in segs))
+    return ok or (interpret and all(s.bits <= 8 for s in segs))
 
 
 def decode(params, bits, layout, packed, packing: str):
@@ -343,7 +369,7 @@ class RankAware(BaseQuantizer):
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
                   use_bf16=True, approx=False, cache=None, num_valid=None,
-                  use_packed=None, interpret=False):
+                  use_packed=None, interpret=False, prune_tiles=None):
         """Rotated-query fused scan: q·x̂ = (qV)·ŷ + q·mu, ‖x̂‖² from ŷ."""
         params, bits, layout, packing = self.params, self.bits, self.layout, self.cfg.packing
         n = codes.shape[0]
@@ -358,14 +384,34 @@ class RankAware(BaseQuantizer):
                 and _packed_available(params, bits, num_q, interpret=interpret)
             )
         if use_packed:
+            if metric == Metric.NIP:
+                if cache is not None and not cache.has_norms:
+                    raise ValueError(
+                        "Metric.NIP needs a packed cache built with norms"
+                    )
+                if cache is None and norms is None:
+                    raise ValueError("Metric.NIP requires original row norms")
             packed = cache if cache is not None else prepare_packed(
                 params, bits, layout, codes, packing,
                 norms=norms if metric == Metric.NIP else None,
             )
-            outs, outi = _packed_scan(
-                params, bits, queries, packed, k, metric,
-                num_valid=num_valid, interpret=interpret, use_bf16=bf,
+            prune = (
+                prune_tiles
+                if prune_tiles is not None
+                else (packed.tile_stats is not None and packed.prune_hint
+                      and metric != Metric.NIP)
             )
+            if prune:
+                outs, outi, _ = _packed_scan(
+                    params, bits, queries, packed, k, metric,
+                    num_valid=num_valid, interpret=interpret, use_bf16=bf,
+                    prune=True,
+                )
+            else:
+                outs, outi = _packed_scan(
+                    params, bits, queries, packed, k, metric,
+                    num_valid=num_valid, interpret=interpret, use_bf16=bf,
+                )
             return _finalize(outs, outi, metric,
                              jnp.sum(queries * queries, axis=-1))
         dt = jnp.bfloat16 if bf else jnp.float32
@@ -417,8 +463,8 @@ class RankAware(BaseQuantizer):
         scores, idx = _streaming_topk(score_tile, n, num_q, k, tile, approx=approx)
         return _finalize(scores, idx, metric, q_sq)
 
-    def prepare_scan(self, codes, norms=None):
-        if not _packed_available(self.params, self.bits, 8):
+    def prepare_scan(self, codes, norms=None, num_queries=8):
+        if not _packed_available(self.params, self.bits, num_queries):
             return None
         return prepare_packed(self.params, self.bits, self.layout,
                               jnp.asarray(codes), self.cfg.packing, norms=norms)

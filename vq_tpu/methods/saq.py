@@ -451,20 +451,102 @@ def packed_segspecs(plan: SAQPlan, params: SAQParams):
     return tuple(segs), tuple(lv_tables)
 
 
+def _tile_stats(rhat_sq: jax.Array, me: jax.Array, n: int) -> jax.Array:
+    """Per-512-row-tile (min ‖r̂‖, max ‖r̂‖, max error margin) — the
+    variance-prune stage's block factors (kernels/pallas_packed.py module
+    docstring; reference caq_estimator.h:95-115 varsEstDist reads the same
+    per-block o_l2norm array).  Pad rows (id ≥ n) are excluded."""
+    n_pad = rhat_sq.shape[0]
+    valid = jnp.arange(n_pad) < n
+    r = jnp.sqrt(jnp.maximum(rhat_sq, 0.0))
+    min_r = jnp.where(valid, r, jnp.inf).reshape(-1, 512).min(axis=1)
+    min_r = jnp.where(jnp.isfinite(min_r), min_r, 0.0)
+    max_r = jnp.where(valid, r, 0.0).reshape(-1, 512).max(axis=1)
+    max_me = jnp.where(valid, me, 0.0).reshape(-1, 512).max(axis=1)
+    return jnp.stack([min_r, max_r, max_me], axis=1).astype(jnp.float32)
+
+
+def prune_hint_from_stats(stats) -> bool:
+    """Can the variance-prune bound ever fire on this corpus?
+
+    A tile is skippable only if its score bound differs from other tiles',
+    i.e. the per-tile norm envelopes vary.  On iid corpora every tile spans
+    the same [min, max] norm range and the stage scans 100% of tiles while
+    paying its (measured ~3%, BENCH_NOTES.md) bookkeeping — so auto mode
+    turns it off when the across-tile spread of max ‖r̂‖ is under 5% of its
+    median (host-side, once per corpus build)."""
+    mr = np.asarray(stats[:, 1])
+    mr = mr[mr > 0]
+    if mr.size < 2:
+        return False
+    med = float(np.median(mr))
+    if med <= 0:
+        return False
+    return bool((mr.max() - mr.min()) / med > 0.05)
+
+
+def _row_norm_key(plan: SAQPlan, codes: jax.Array,
+                  row_chunk: int = 1 << 20) -> jax.Array:
+    """Σ_s o_l2norm_s² per row, parsed from the byte rows' float columns
+    only (no code unpacking) — the norm-ordering sort key."""
+    nbytes = sum(
+        packed_bytes(plan.seg_lens[s], plan.seg_bits[s])
+        for s in range(plan.num_segments)
+    )
+    npos = nbytes + 4 * plan.num_segments
+
+    @jax.jit
+    def key_chunk(rows):
+        acc = jnp.zeros((rows.shape[0],), jnp.float32)
+        for s in range(plan.num_segments):
+            nrm = bytes_to_f32(rows[:, npos + 4 * s : npos + 4 * s + 4])
+            acc = acc + nrm * nrm
+        return acc
+
+    parts = [
+        key_chunk(codes[i0 : i0 + row_chunk])
+        for i0 in range(0, codes.shape[0], row_chunk)
+    ]
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def prepare_packed(
     plan: SAQPlan,
     params: SAQParams,
     codes: jax.Array,
     norms: Optional[jax.Array] = None,
     row_chunk: int = 131072,
+    sort_rows: bool = False,
 ) -> "PackedCorpus":
     """Byte rows → PackedCorpus (factors col s = segment s rescale; col S =
     original row norm for Metric.NIP, 1.0 when absent), chunked so the
     (chunk, D, 8) unpack intermediates stay bounded at multi-million-row
-    corpora."""
+    corpora.
+
+    Also derives the variance-prune tile stats: per-row ‖r̂‖² (dequantized
+    residual norm) and the CAQ error margin Σ_s fac_error_s/‖o_s‖.  The
+    margin reconstructs fac_error (reference caq_encoder.h:26,228) from the
+    STORED factors — ⟨o, r̂⟩ = ‖o‖² by the rescale construction, so
+    cos² = ‖o‖²/‖r̂‖² and fac_error_s/‖o_s‖ = ‖o_s‖·ε·√((‖r̂_s‖²/‖o_s‖²−1)
+    /(ln_s−1)) — no extra bytes in the row format.
+
+    sort_rows=True NORM-ORDERS the corpus (rows sorted by the stored
+    o_l2norm key) before packing so each 512-row tile spans a narrow norm
+    band and the variance-prune bound can actually fire — the flat-scan
+    analog of the reference's per-cluster norm locality.  Result ids are
+    mapped back through `perm` by the scan wrappers; a sorted corpus cannot
+    honor num_valid prefix masking (scan_topk raises)."""
+    from vq_tpu.kernels.caq import _CONST_EPSILON
     from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
 
     n = codes.shape[0]
+    perm = None
+    if sort_rows and n > 512:
+        order = jnp.argsort(_row_norm_key(plan, codes))
+        codes = jnp.take(codes, order, axis=0)
+        if norms is not None:
+            norms = jnp.take(norms, order)
+        perm = order.astype(jnp.int32)
     s_count = plan.num_segments
     row_chunk = max(512, row_chunk - row_chunk % 512)  # keep chunks % u == 0
     pad = (-n) % 512
@@ -479,23 +561,39 @@ def prepare_packed(
         parts = _split_row(plan, rows)
         words = []
         fac_cols = []
-        for s, (packed, rescale, _nrm) in enumerate(parts):
-            idx = unpack_bits(packed, plan.seg_bits[s], plan.seg_lens[s])
+        rhat_sq = jnp.zeros((rows.shape[0],), jnp.float32)
+        me = jnp.zeros((rows.shape[0],), jnp.float32)
+        for s, (packed, rescale, nrm) in enumerate(parts):
+            ln = plan.seg_lens[s]
+            idx = unpack_bits(packed, plan.seg_bits[s], ln)
             words.append(pack_words(idx, plan.seg_bits[s], segspecs[s].beff))
             fac_cols.append(rescale[:, None])
-        return tuple(words), jnp.concatenate(fac_cols, axis=1)
+            val = _seg_dequant(plan, params, s, idx, rescale)
+            rsq_s = jnp.sum(val * val, axis=1)
+            rhat_sq = rhat_sq + rsq_s
+            osq_s = jnp.maximum(nrm * nrm, 1e-30)
+            cos_term = jnp.maximum(rsq_s / osq_s - 1.0, 0.0)
+            me = me + nrm * _CONST_EPSILON * jnp.sqrt(
+                cos_term / max(ln - 1, 1)
+            )
+        return tuple(words), jnp.concatenate(fac_cols, axis=1), rhat_sq, me
 
-    w_chunks, f_chunks = [], []
+    w_chunks, f_chunks, r_chunks, m_chunks = [], [], [], []
     for i0 in range(0, n_pad, row_chunk):  # row_chunk % 512 == 0
-        w, f = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
+        w, f, r, m = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
         w_chunks.append(w)
         f_chunks.append(f)
+        r_chunks.append(r)
+        m_chunks.append(m)
+
+    def _cat(chunks):
+        return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+
     words = tuple(
-        jnp.concatenate([c[s] for c in w_chunks], axis=0)
-        if len(w_chunks) > 1 else w_chunks[0][s]
-        for s in range(s_count)
+        _cat([c[s] for c in w_chunks]) for s in range(s_count)
     )
-    fac = jnp.concatenate(f_chunks, axis=0) if len(f_chunks) > 1 else f_chunks[0]
+    fac = _cat(f_chunks)
+    stats = _tile_stats(_cat(r_chunks), _cat(m_chunks), n)
     nrm_col = (
         jnp.ones((n, 1), jnp.float32)
         if norms is None
@@ -504,7 +602,9 @@ def prepare_packed(
     if pad:
         nrm_col = jnp.pad(nrm_col, ((0, pad), (0, 0)), constant_values=1.0)
     fac = jnp.concatenate([fac, nrm_col], axis=1)
-    return PackedCorpus(words=words, factors=fac, num_rows=n)
+    return PackedCorpus(words=words, factors=fac, num_rows=n,
+                        tile_stats=stats, has_norms=norms is not None,
+                        perm=perm, prune_hint=prune_hint_from_stats(stats))
 
 
 def _packed_query_side(plan, params, queries, seg_ids):
@@ -533,12 +633,17 @@ def _packed_query_side(plan, params, queries, seg_ids):
 
 def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
                  seg_ids=None, num_valid=None, interpret=False,
-                 use_bf16=True):
+                 use_bf16=True, prune=False):
     """Run the fused packed kernel over (a segment subset of) the corpus.
 
     Returns maximize-form (scores, ids) — callers finalize.  seg_ids selects
     a subset of segments (stage 1 uses the high-variance head); each segment
     carries its own words array, so any subset works.
+
+    prune=True enables the in-kernel variance-prune stage (full segment set
+    only — the tile stats bound the FULL reconstruction norm, so a
+    head-subset scan would under-bound) and returns a third element, the
+    number of tiles scanned.
     """
     from vq_tpu.kernels.pallas_packed import packed_scan_topk
 
@@ -560,10 +665,21 @@ def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
     limit = packed.num_rows if num_valid is None else jnp.minimum(
         packed.num_rows, num_valid
     )
+    qprune = None
+    if prune:
+        assert len(seg_ids) == plan.num_segments and metric != Metric.NIP
+        assert packed.tile_stats is not None
+        if metric == Metric.L2:
+            b = jnp.linalg.norm(q_cat - mean_cat[None, :], axis=1)
+        else:
+            b = jnp.linalg.norm(q_cat, axis=1)
+        qprune = jnp.stack([qa, b], axis=1)
     return packed_scan_topk(
         q_cat, qa, mean_cat, words, packed.factors, lv_sub, seg_sub, k,
         family="seg", metric_kind=kind, norm_col=plan.num_segments,
         limit=limit, interpret=interpret, use_bf16=use_bf16,
+        prune=prune, tile_stats=packed.tile_stats if prune else None,
+        qprune=qprune,
     )
 
 
@@ -577,7 +693,7 @@ def _packed_available(plan, params, num_q, interpret=False):
         [int(np.prod(t.shape)) for t in lv_tables],
     )
     return ok or (interpret and all(
-        s.bits <= 6 or s.dequant == "uniform" for s in segs
+        s.bits <= 8 or s.dequant == "uniform" for s in segs
     ))
 
 
@@ -603,24 +719,29 @@ def scan_topk(
     packed_cache: Optional[PackedCorpus] = None,
     use_packed: Optional[bool] = None,
     interpret: bool = False,
+    prune_tiles: Optional[bool] = None,
 ):
-    """Fused SAQ scan, optionally with the engine's pruning cascade.
+    """Fused SAQ scan, optionally with the engine's pruning cascades.
 
-    prune_segments > 0 enables the two-phase analog of the reference's
-    3-stage searcher (external/saq/include/saq/saq_searcher.h:83-155):
-    stage 1 scores every row using only the first `prune_segments` PCA
-    segments (the high-variance head — a fraction of the decode+matmul
-    work, like the engine's 1-bit fastscan estimate) and keeps
-    rerank_factor·k candidates; stage 2 gathers those rows and rescores
-    them exactly with all segments.  Dense, fixed-shape, no dynamic
-    control flow — the TPU form of block pruning.
+    Two cascade strategies mirror the reference's 3-stage searcher
+    (external/saq/include/saq/saq_searcher.h:83-155):
 
-    Measured (v5e, N=100k, D=384, Q=256): full scan 10.4 ms vs
-    prune+rerank 42.9 ms at equal recall — the stage-2 row gather is
-    TPU's weak spot (the same gather-bound effect the reference measured
-    on CPU, bench/ffd_speed.cpp:10-16), so the dense MXU scan wins at this
-    scale.  The cascade only pays when stage-1 savings (∝ N) exceed the
-    fixed gather cost, i.e. at multi-million-row shards; default off.
+    * prune_tiles — the varsEstDist analog (stage 1): each 512-row tile's
+      factor-derived score bound is checked against the running kth score
+      INSIDE the packed kernel and losing tiles skip all unpack/dequant/
+      matmul work (kernels/pallas_packed.py module docstring).  Exact
+      w.r.t. the dense result; auto-enabled whenever the packed corpus
+      carries tile stats and the metric supports it.
+
+    * prune_segments > 0 — the fastscan-estimate analog (stage 2): score
+      every row using only the first `prune_segments` PCA segments (the
+      high-variance head), keep rerank_factor·k candidates, gather and
+      rescore exactly with all segments.  Measured LOSING at N ≤ 100k
+      (v5e: 10.4 ms dense vs 42.9 ms cascade at N=100k, D=384 — the
+      stage-2 row gather is TPU's weak spot, the analog of the
+      reference's gather-bound CPU finding, bench/ffd_speed.cpp:10-16);
+      see BENCH_NOTES.md for the N ∈ {1M, 4M, 10M} crossover table.
+      Default off.
     """
     n = codes.shape[0]
     num_q = queries.shape[0]
@@ -640,19 +761,49 @@ def scan_topk(
             and _packed_available(plan, params, num_q, interpret=interpret)
         )
     if use_packed:
+        if metric == Metric.NIP:
+            # a cache built without real norms fills the norm column with
+            # 1.0 and would silently return un-normalized scores
+            if packed_cache is not None and not packed_cache.has_norms:
+                raise ValueError(
+                    "Metric.NIP needs a packed cache built with norms"
+                )
+            if packed_cache is None and norms is None:
+                raise ValueError("Metric.NIP requires original row norms")
         packed = packed_cache if packed_cache is not None else prepare_packed(
             plan, params, codes, norms if metric == Metric.NIP else None
         )
+        if packed.perm is not None and num_valid is not None:
+            raise ValueError(
+                "num_valid prefix masking is incompatible with a norm-"
+                "ordered (sort_rows) packed cache"
+            )
         want_prune = (
             0 < prune_segments < plan.num_segments
             and n > 2 * rerank_factor * k
             and rerank_factor * k <= 128
         )
         if not want_prune:
-            outs, outi = _packed_scan(
-                plan, params, queries, packed, k, metric,
-                num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+            prune = (
+                prune_tiles
+                if prune_tiles is not None
+                else (packed.tile_stats is not None and packed.prune_hint
+                      and metric != Metric.NIP)
             )
+            if prune:
+                outs, outi, _ = _packed_scan(
+                    plan, params, queries, packed, k, metric,
+                    num_valid=num_valid, interpret=interpret,
+                    use_bf16=use_bf16, prune=True,
+                )
+            else:
+                outs, outi = _packed_scan(
+                    plan, params, queries, packed, k, metric,
+                    num_valid=num_valid, interpret=interpret,
+                    use_bf16=use_bf16,
+                )
+            if packed.perm is not None:
+                outi = jnp.take(packed.perm, outi)
             return _finalize(outs, outi, metric, q_sq)
         # stage 1 in-kernel over the high-variance head segments
         k1 = min(n, rerank_factor * k)
@@ -661,6 +812,8 @@ def scan_topk(
             seg_ids=tuple(range(prune_segments)), num_valid=num_valid,
             interpret=interpret, use_bf16=use_bf16,
         )
+        if packed.perm is not None:
+            cand = jnp.take(packed.perm, cand)  # back to corpus row ids
         return _saq_rerank(
             plan, params, queries, codes, cand, jnp.isfinite(s1), k, metric,
             norms=norms, q_sq=q_sq,
@@ -829,21 +982,28 @@ class SAQ(BaseQuantizer):
 
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
                   use_bf16=True, approx=False, prune_segments=0,
-                  rerank_factor=10, cache=None, num_valid=None):
+                  rerank_factor=10, cache=None, num_valid=None,
+                  prune_tiles=None):
         return scan_topk(
             self.plan, self.params, queries, codes, k, metric,
             norms=norms, tile_rows=tile_rows, use_bf16=use_bf16, approx=approx,
             prune_segments=prune_segments, rerank_factor=rerank_factor,
-            packed_cache=cache, num_valid=num_valid,
+            packed_cache=cache, num_valid=num_valid, prune_tiles=prune_tiles,
         )
 
-    def prepare_scan(self, codes, norms=None):
+    def prepare_scan(self, codes, norms=None, num_queries=8):
         """Build the PackedCorpus scan cache (FlatQuantizedIndex calls this
-        once at fit; scan_topk(cache=...) then skips per-call repacking)."""
-        if not _packed_available(self.plan, self.params, 8):
+        once at fit; scan_topk(cache=...) then skips per-call repacking).
+        num_queries is the expected query-batch size the availability gate
+        models (VMEM scales with it; a cache built for small batches is dead
+        weight if searches arrive much larger — see base.prepare_scan).
+        The cache is norm-ordered (sort_rows) so the variance-prune stage
+        can fire; indexes that need num_valid masking must build their own
+        unsorted cache via prepare_packed."""
+        if not _packed_available(self.plan, self.params, num_queries):
             return None
         return prepare_packed(self.plan, self.params, jnp.asarray(codes),
-                              norms=norms)
+                              norms=norms, sort_rows=True)
 
     def code_bytes_per_vector(self) -> float:
         return float(self.plan.code_bytes)
