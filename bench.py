@@ -8,8 +8,9 @@ additions ride as extra fields in the same JSON object:
       attributable (tunnel wall-clock varies wildly, see CLAUDE.md).
   recall_gate_pq192 — quality-bearing gate: PQ M=192 B=8 at D=1536 (≈1 bpd,
       the reference study's bpd=1 config — results_full_20260612_235308.csv
-      pq R@10 0.8034 on dbpedia; here the same geometry on the synthetic
-      corpus).  The run FAILS (exit 1) if it regresses below the floor.
+      pq R@10 0.8034 on dbpedia; here the same geometry on a planted-
+      neighborhood corpus where that target is reachable — see
+      recall_gate_pq192).  The run FAILS (exit 1) below the floor (0.763).
   saq_packed_* / rabitq_packed_* — the packed-word Pallas kernel
       (kernels/pallas_packed.py) on the record: SAQ bpd=2 and RaBitQ B=2 at
       D=1024, N=1M, Q=256, k=10, sustained QPS/chip + recall@10.
@@ -164,20 +165,56 @@ def headline_pq(jax, jnp, out):
     return xd, qd, gt
 
 
-def recall_gate_pq192(jax, jnp, xd, qd, gt, out):
-    """bpd-matched quality gate: PQ M=192 B=8 at D=1536 (≈1 bit/dim)."""
+def recall_gate_pq192(jax, jnp, out):
+    """bpd-matched quality gate: PQ M=192 B=8 at D=1536 (≈1 bit/dim).
+
+    The headline's iid power-law corpus has NO usable neighbor structure at
+    D=1536 (top-10 distances concentrate; measured ceilings: iid 0.18,
+    rank-16 manifold 0.59 — no quantizer can reach the reference's dbpedia
+    0.8034 there).  The gate therefore runs on a corpus that plants the
+    structure real embedding sets have: low intrinsic dimension (rank-32
+    manifold in D=1536), near-duplicate neighborhoods (10k "documents" ×
+    10 variants, within-document spread 0.5), unit-normalized rows — the
+    same geometry/compression as the reference study's bpd=1 dbpedia row
+    (results_full_20260612_235308.csv pq R@10 0.8034).  Measured here:
+    0.809, so the reference-derived floor 0.763 (VERDICT r02 target) is
+    meaningful and a scoring regression (worse codebooks, broken estimator,
+    precision loss) fails the run."""
     from vq_tpu.core.config import KMeansConfig, Metric, PQConfig
-    from vq_tpu.kernels.adc import scan_codes_topk
+    from vq_tpu.kernels.adc import exact_topk, scan_codes_topk
     from vq_tpu.methods import pq as pq_mod
     from vq_tpu.metrics.recall import recall_at_k
 
-    k = 10
+    n, d, nq, k = 100_000, 1536, 1024, 10
+    rank, csize, spread = 32, 10, 0.5
+    kc = n // csize
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+
+    @jax.jit
+    def gen():
+        a = jax.random.normal(ks[0], (rank, d), jnp.float32)
+        a = a * ((1.0 + jnp.arange(d)) ** -0.5)
+        cents = jax.random.normal(ks[1], (kc, rank), jnp.float32)
+        asn = jnp.arange(n) % kc
+        z = cents[asn] + spread * jax.random.normal(ks[3], (n, rank),
+                                                    jnp.float32)
+        qdoc = jax.random.randint(ks[4], (nq,), 0, kc)
+        zq = cents[qdoc] + spread * jax.random.normal(ks[5], (nq, rank),
+                                                      jnp.float32)
+        x, q = z @ a, zq @ a
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        return x, q
+
+    xg, qg = gen()
+    _, gt = exact_topk(qg, xg, k=k, metric=Metric.L2)
+    gt = np.asarray(gt)
     cfg = PQConfig(num_subquantizers=192, num_bits=8,
                    kmeans=KMeansConfig(iters=10))
-    params = pq_mod.fit(jax.random.PRNGKey(1), xd, cfg)
-    codes = pq_mod.encode(params, xd)
+    params = pq_mod.fit(jax.random.PRNGKey(1), xg, cfg)
+    codes = pq_mod.encode(params, xg)
     ids = np.asarray(scan_codes_topk(
-        qd, codes, params.codebooks, k=k, metric=Metric.L2, use_bf16=True,
+        qg, codes, params.codebooks, k=k, metric=Metric.L2, use_bf16=True,
     )[1])
     r = recall_at_k(gt, ids, k)
     out["recall_gate_pq192"] = round(r, 4)
@@ -389,11 +426,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from vq_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()  # tunnel compiles are 20-60 s; cache reruns
+
     fast = os.environ.get("VQ_BENCH_FAST", "") == "1"
     out = {}
     xd, qd, gt = headline_pq(jax, jnp, out)
-    gate_ok = recall_gate_pq192(jax, jnp, xd, qd, gt, out)
     del xd, qd
+    gate_ok = recall_gate_pq192(jax, jnp, out)
     assert_ok = compiled_exactness_assert(jax, jnp, out)
     packed_saq_1m(jax, jnp, out, fast)
     packed_rabitq_1m(jax, jnp, out, fast)

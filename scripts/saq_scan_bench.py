@@ -47,8 +47,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from vq_tpu.cli import _enable_compilation_cache
     from vq_tpu.core.config import Metric, SAQConfig
     from vq_tpu.methods import saq as saq_mod
+
+    _enable_compilation_cache()
 
     args = sys.argv[1:]
     fast = "--fast" in args
