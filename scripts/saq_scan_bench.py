@@ -146,6 +146,12 @@ def main() -> None:
                     return saq_mod._packed_scan(
                         plan, params, q + acc * 0, cache, k, Metric.L2)
 
+                def dense_xla(acc, q, codes, cache):
+                    # the non-Pallas fallback scan (packed vs XLA row)
+                    return saq_mod.scan_topk(
+                        plan, params, q + acc * 0, codes, k, Metric.L2,
+                        use_packed=False)
+
                 def vprune(acc, q, codes, cache):
                     return saq_mod._packed_scan(
                         plan, params, q + acc * 0, cache, k, Metric.L2,
@@ -180,6 +186,9 @@ def main() -> None:
                 i_dense = np.asarray(
                     dense(jnp.float32(0), q, codes, cache)[1])
                 run_one("dense", dense, q, cache, i_dense, nb, raw=True)
+                if n <= 1_048_576:  # packed-vs-XLA comparison row
+                    run_one("dense (XLA fallback)", dense_xla, q, cache,
+                            i_dense, nb, raw=False)
                 run_one("head-prune+rerank", headprune, q, cache, i_dense,
                         nb, raw=False)
                 i_dense_b = np.asarray(

@@ -34,6 +34,30 @@ def test_pack_words_roundtrip_all_widths():
         np.testing.assert_array_equal(got, idx)
 
 
+def test_pack_words_tile_order_roundtrip():
+    """Kernel layout: within each `tile` rows, shift-plane j holds natural
+    rows [j·tile/u, (j+1)·tile/u) — so concatenating the planes along
+    sublanes restores row order with no interleave (what _unpack_words
+    relies on)."""
+    rng = np.random.default_rng(4)
+    for bits, beff, tile in ((1, 1, 512), (2, 2, 512), (4, 4, 512),
+                             (8, 8, 512), (1, 2, 512), (3, 4, 1024)):
+        u = 32 // beff
+        n, ln = 2 * tile, 19
+        idx = rng.integers(0, 1 << bits, size=(n, ln))
+        w = np.asarray(pack_words(jnp.asarray(idx), bits, beff, tile=tile))
+        assert w.shape == (n // u, ln)
+        rt = tile // u
+        chunks = [((w.astype(np.uint32) >> (beff * j)) & ((1 << bits) - 1))
+                  for j in range(u)]
+        # per tile t, plane j rows are w[t*rt:(t+1)*rt] → natural block j
+        got = np.concatenate(
+            [np.concatenate([c[t * rt : (t + 1) * rt] for c in chunks])
+             for t in range(n // tile)]
+        )
+        np.testing.assert_array_equal(got, idx)
+
+
 def test_choose_beff_avoids_skinny_16row_blocks():
     """Regression for the v5e Mosaic mis-DMA: (16-sublane, <128-lane) int32
     blocks fetch the wrong grid block; 1-bit skinny segments must store at

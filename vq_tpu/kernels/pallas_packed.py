@@ -10,16 +10,21 @@ unpacks AVX-512 lanes with bit-width-specialized shuffles, the TPU unpacks
 into the resident-query MXU matmul, folding the tile into the same running
 in-VMEM top-k as the PQ kernel — the (Q, N) score matrix never exists.
 
-Word layout ("row-interleaved bitplane words", built by pack_words): a
-segment's (N, ln) B-bit indices become (N/u, ln) int32 words with
-u = 32 // b_eff (b_eff = B rounded up to a power of two); word row r lane d
-packs rows {r·u + j : j < u} at shift b_eff·j.  Lanes stay the full segment
-width (native (8,128) tiling — a column-interleaved layout instead pads
-every (T, W) slice to 128 lanes and blows scoped VMEM ~u×), and the
-in-kernel unpack is u shift+mask ops whose sublane re-stack restores natural
-row order:
+Word layout ("tile-ordered bitplane words", built by pack_words(tile=512)):
+a segment's (N, ln) B-bit indices become (N/u, ln) int32 words with
+u = 32 // b_eff (b_eff = B rounded up to a power of two); within each
+512-row tile, word r shift-slot j packs tile-local row j·(512/u) + r.
+Lanes stay the full segment width (native (8,128) tiling — a
+column-interleaved layout instead pads every (T, W) slice to 128 lanes and
+blows scoped VMEM ~u×), and the in-kernel unpack is u shift+mask ops whose
+shift-planes are already contiguous natural-order row blocks:
 
-    idx = stack_j((words >> (b_eff·j)) & (2^B−1), axis=1).reshape(T, ln)
+    idx = concat_j((words >> (b_eff·j)) & (2^B−1), axis=0)   # (T, ln)
+
+(The earlier row-interleaved layout — word r holds rows {r·u + j} — needed
+a stack(axis=1).reshape to restore row order, a cross-sublane interleave
+Mosaic executes as u full-plane shuffles; at u=16 that relayout dominated
+the kernel.  Packing is where the order is chosen, so the fix is free.)
 
 Dequantization kinds per segment:
   "uniform" — mid-rise grid (c+.5)·δ−1 (kernels/caq.py _dequant_unit)
@@ -193,17 +198,40 @@ class PackedCorpus:
                    has_norms=has_norms, perm=perm, prune_hint=prune_hint)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "beff"))
-def pack_words(idx: jax.Array, bits: int, beff: Optional[int] = None) -> jax.Array:
-    """(N, ln) indices in [0, 2^bits) → (N/u, ln) int32 row-interleaved
-    words (N must be a multiple of u = 32 // beff; callers pad rows).
-    `beff` must match the SegSpec's (choose_beff); defaults to the dense
-    power-of-two width."""
+@functools.partial(jax.jit, static_argnames=("bits", "beff", "tile"))
+def pack_words(
+    idx: jax.Array, bits: int, beff: Optional[int] = None,
+    tile: Optional[int] = None,
+) -> jax.Array:
+    """(N, ln) indices in [0, 2^bits) → (N/u, ln) int32 words
+    (u = 32 // beff rows per word; N must be a multiple of u).  `beff` must
+    match the SegSpec's (choose_beff); defaults to the dense power-of-two
+    width.
+
+    tile=None → row-interleaved: word w shift-slot j holds row w·u + j.
+    tile=T (the kernel layout; N % T == 0) → TILE-ORDERED: within each
+    T-row tile, word r shift-slot j holds tile-local row j·(T/u) + r, so
+    the kernel's unpack restores natural row order by CONCATENATING the u
+    shift-planes along sublanes — a free register stack — instead of the
+    row-interleaving stack+reshape, whose cross-sublane shuffle was
+    measured dominating the kernel at small bit widths (u=16: every f32
+    value moved once per plane).  The HBM footprint and shapes are
+    identical; only which row lands in which (word, shift) changes."""
     n, ln = idx.shape
     if beff is None:
         beff = _b_eff(bits)
     u = 32 // beff
     assert n % u == 0, (n, u)
+    if tile is not None and u > 1:
+        assert n % tile == 0 and tile % u == 0, (n, tile, u)
+        rt = tile // u
+        # tile-local transpose of the (u, rt) row grid: feed the packer
+        # rows'[r·u + j] = rows[j·rt + r]
+        idx = (
+            idx.reshape(n // tile, u, rt, ln)
+            .transpose(0, 2, 1, 3)
+            .reshape(n, ln)
+        )
     r = n // u
     acc = jnp.zeros((r, ln), dtype=jnp.uint32)
     idx = idx.astype(jnp.uint32).reshape(r, u, ln)
@@ -213,7 +241,10 @@ def pack_words(idx: jax.Array, bits: int, beff: Optional[int] = None) -> jax.Arr
 
 
 def _unpack_words(words: jax.Array, seg: SegSpec) -> jax.Array:
-    """(T/u, ln) int32 → (T, ln) int32 indices in natural row order."""
+    """One tile's (T/u, ln) int32 TILE-ORDERED words → (T, ln) int32 indices
+    in natural row order (see pack_words: shift-plane j IS rows
+    [j·T/u, (j+1)·T/u), so restoring order is a sublane concatenation, not
+    an interleave)."""
     u = seg.u
     mask = (1 << seg.bits) - 1
     uw = words.astype(jnp.uint32)
@@ -223,8 +254,7 @@ def _unpack_words(words: jax.Array, seg: SegSpec) -> jax.Array:
     ]
     if u == 1:
         return chunks[0]
-    r = words.shape[0]
-    return jnp.stack(chunks, axis=1).reshape(r * u, seg.ln)
+    return jnp.concatenate(chunks, axis=0)
 
 
 def _dequant_seg(idx: jax.Array, seg: SegSpec, lv_ref, fac, f32) -> jax.Array:

@@ -153,7 +153,8 @@ def prepare_packed(
         r_eff = nrm * jnp.sqrt(jnp.float32(d)) / jnp.maximum(
             t * snorm, 1e-12
         )
-        return pack_words(idx, num_bits, beff), jnp.stack([nrm, t], axis=1), r_eff
+        return (pack_words(idx, num_bits, beff, tile=512),
+                jnp.stack([nrm, t], axis=1), r_eff)
 
     w_chunks, f_chunks, r_chunks = [], [], []
     for i0 in range(0, n_pad, row_chunk):

@@ -237,7 +237,7 @@ def prepare_packed(params, bits, layout, codes, packing: str,
             seg = y_hat[:, st : st + ln]
             rsq = rsq + jnp.sum(seg * seg, axis=1)
         return tuple(
-            pack_words(idx[:, st : st + ln], b, seg.beff)
+            pack_words(idx[:, st : st + ln], b, seg.beff, tile=512)
             for (st, ln, b), seg in zip(runs, segspecs)
         ), rsq
 

@@ -566,7 +566,8 @@ def prepare_packed(
         for s, (packed, rescale, nrm) in enumerate(parts):
             ln = plan.seg_lens[s]
             idx = unpack_bits(packed, plan.seg_bits[s], ln)
-            words.append(pack_words(idx, plan.seg_bits[s], segspecs[s].beff))
+            words.append(pack_words(idx, plan.seg_bits[s], segspecs[s].beff,
+                                    tile=512))
             fac_cols.append(rescale[:, None])
             val = _seg_dequant(plan, params, s, idx, rescale)
             rsq_s = jnp.sum(val * val, axis=1)
