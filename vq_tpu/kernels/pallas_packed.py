@@ -32,12 +32,21 @@ Dequantization kinds per segment:
   "shared"  — one level table for all dims (RaBitQ Gaussian codebook)
 Per-row factors (rescale, norms, RaBitQ t) ride in a (N, F) f32 side array.
 
-Score assembly families:
+Score assembly (unified; see _packed_kernel): every family's maximize-form
+score is an affine map of the tile matmul,  s = (2·)ip + qa − shift, with
+the row-side constants PRECOMPUTED into factor columns at pack time:
   "seg"    — SAQ/RankAware: x̂ = mean + Rᵀô per segment; maximize-form
-             L2 = 2(ip+q·mean) − (‖mean‖² + 2 mean·r̂ + ‖r̂‖²)
-  "rabitq" — unbiased estimator: α = ‖r‖√D/(t‖ŝ‖²), q·x̂ = α(qP)·ŝ + q·c
+             L2 = 2(ip+q·mean) − (‖mean‖² + 2 mean·r̂ + ‖r̂‖²); the per-
+             segment r2_s = 2·mean_s·r̂_s + ‖r̂_s‖² are factor columns
+             (r2_cols), summed in-kernel so segment-subset scans work
+  "rabitq" — unbiased estimator: α = ‖r‖√D/(t‖ŝ‖²), q·x̂ = α(qP)·ŝ + q·c;
+             α is folded into the dequant scale (scale_col) so the MXU
+             emits α·⟨q,ŝ⟩ directly, and c2 = 2α·(ŝ·c_rot) + ‖r‖² is the
+             precomputed L2 shift column
 Both emit the same maximize-form contract as kernels/adc.py, so _finalize
-and recall paths are shared.
+and recall paths are shared.  (Scaling the matmul OUTPUT by a factor-
+derived (1, T) row instead measured 6× slower on v5e — see
+_packed_kernel.)
 
 Variance-prune stage (prune=True): the TPU analog of the reference
 searcher's stage-1 `varsEstDist` block skip (external/saq/include/saq/
@@ -280,17 +289,34 @@ def _dequant_seg(idx: jax.Array, seg: SegSpec, lv_ref, fac, f32) -> jax.Array:
 def _packed_kernel(
     limit_ref, *rest,
     segs: Tuple[SegSpec, ...], n_lv: int, k: int, nb: int, tile: int,
-    family: str, metric_kind: str, norm_col: int, nrm_col: int, t_col: int,
-    sqrt_d: float, use_bf16: bool, prune: bool,
+    family: str, metric_kind: str, norm_col: int, r2_cols: Tuple[int, ...],
+    use_bf16: bool, prune: bool,
 ):
     """One grid step: unpack+dequant `tile` rows, score, fold running top-k.
 
+    ALL row-side score constants are precomputed into factor columns at
+    pack time (methods/*.prepare_packed), so the in-kernel score assembly
+    is the same affine form for every family:
+
+        L2:  s = 2·ip + qa − (Σ_c fac[:, c] for c in r2_cols)[None, :]
+        IP:  s = ip + qa
+        NIP: s = (ip + qa) / fac[:, norm_col]
+
+    with per-row multiplicative scales (SAQ rescale, RaBitQ's estimator
+    α = ‖r‖√D/(t‖ŝ‖²)) folded into the dequantized values via each
+    segment's scale_col — i.e. into the MATMUL INPUT.  Measured v5e
+    motivation: scaling the matmul OUTPUT by a data-dependent (1, T) row
+    (`alpha[None, :] * ip`) serialized the kernel 6× (37 ms vs 6 ms at
+    N=131k — a constant-foldable alpha was fast, a factor-derived one
+    slow), while the same information as an input-side row scale plus a
+    precomputed additive column is free.  `family` remains only to pick
+    the variance-prune BOUND shape.
+
     limit_ref (1,) i32 SMEM — rows with global id ≥ limit score −inf
-    [stats_ref (nb, 3) f32 SMEM — per-tile prune stats, prune=True only]
+    [stats_ref (3, nb) f32 SMEM — per-tile prune stats, prune=True only]
     q_ref   (Q, D)          — pre-rotated queries (resident)
     qa_ref  (Q, 1) f32      — per-query additive term (see callers)
     [qpr_ref (Q, 2) f32     — per-query (A, B) prune row, prune=True only]
-    mean_ref (1, D) f32     — mean/centroid in code space (L2 cross term)
     fac_ref (tile, F) f32   — per-row factors
     rest continues: per-segment words refs ((tile/u_s, ln_s) i32), then n_lv
     level tables, then outs/outi [+ outn (1,1) i32 tiles-scanned count when
@@ -307,8 +333,8 @@ def _packed_kernel(
     if prune:
         qpr_ref = rest[pos]
         pos += 1
-    mean_ref, fac_ref = rest[pos], rest[pos + 1]
-    pos += 2
+    fac_ref = rest[pos]
+    pos += 1
     word_refs = rest[pos : pos + len(segs)]
     lv_refs = rest[pos + len(segs) : pos + len(segs) + n_lv]
     tail = rest[pos + len(segs) + n_lv :]
@@ -382,36 +408,17 @@ def _packed_kernel(
             )
         qa = qa_ref[:]  # (Q, 1)
 
-        if family == "rabitq":
-            snorm = jnp.sum(ohat * ohat, axis=1)  # ‖ŝ‖² (T,)
-            nrm = fac[:, nrm_col]
-            tt = fac[:, t_col]
-            alpha = nrm * f32(sqrt_d) / jnp.maximum(tt * snorm, f32(1e-12))
-            if metric_kind == "l2":
-                # centroid cross term as broadcast-mul + row reduce (Mosaic
-                # has no general mat-vec contraction; this is the native VPU
-                # form)
-                cdot = jnp.sum(ohat * mean_ref[:], axis=1)
-                s = (2.0 * alpha)[None, :] * ip + qa - (
-                    2.0 * alpha * cdot + nrm * nrm
-                )[None, :]
-            elif metric_kind == "ip":
-                s = alpha[None, :] * ip + qa
-            else:  # nip
-                s = (alpha[None, :] * ip + qa) / jnp.maximum(
-                    fac[:, norm_col], f32(1e-30)
-                )[None, :]
-        else:  # "seg"
-            if metric_kind == "l2":
-                res_sq = jnp.sum(ohat * ohat, axis=1)  # ‖r̂‖² (T,)
-                md = jnp.sum(ohat * mean_ref[:], axis=1)  # mean·r̂ (T,)
-                s = 2.0 * ip + qa - (2.0 * md + res_sq)[None, :]
-            elif metric_kind == "ip":
-                s = ip + qa
-            else:  # nip
-                s = (ip + qa) / jnp.maximum(
-                    fac[:, norm_col], f32(1e-30)
-                )[None, :]
+        if metric_kind == "l2":
+            shift = fac[:, r2_cols[0]]
+            for c in r2_cols[1:]:
+                shift = shift + fac[:, c]
+            s = 2.0 * ip + qa - shift[None, :]
+        elif metric_kind == "ip":
+            s = ip + qa
+        else:  # nip
+            s = (ip + qa) / jnp.maximum(
+                fac[:, norm_col], f32(1e-30)
+            )[None, :]
 
         start = step * tile
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (num_q, tile), 1) + start
@@ -438,14 +445,13 @@ _TILE = 512  # rows per grid step; pinned — SegSpec beff choices (choose_beff)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "segs", "k", "family", "metric_kind", "norm_col", "nrm_col",
-        "t_col", "sqrt_d", "interpret", "use_bf16", "prune",
+        "segs", "k", "family", "metric_kind", "norm_col", "r2_cols",
+        "interpret", "use_bf16", "prune",
     ),
 )
 def packed_scan_topk(
     q_cat: jax.Array,
     qa: jax.Array,
-    mean_cat: jax.Array,
     words: Tuple[jax.Array, ...],
     factors: jax.Array,
     lv_tables: Tuple[jax.Array, ...],
@@ -454,9 +460,7 @@ def packed_scan_topk(
     family: str = "seg",
     metric_kind: str = "l2",
     norm_col: int = -1,
-    nrm_col: int = 0,
-    t_col: int = 1,
-    sqrt_d: float = 1.0,
+    r2_cols: Tuple[int, ...] = (),
     limit: Optional[jax.Array] = None,
     interpret: bool = False,
     use_bf16: bool = True,
@@ -468,12 +472,16 @@ def packed_scan_topk(
 
     q_cat   (Q, D) queries pre-rotated into code space (D = Σ ln_s)
     qa      (Q,) per-query additive term (mean/centroid ip, const folded)
-    mean_cat(D,) mean/centroid in code space (zeros unless L2)
     words   per-segment (N/u_s, ln_s) int32 — N % 512 == 0 (pad rows
-            masked via `limit`)
-    factors (N, F) f32 per-row factors
+            masked via `limit`), tile-ordered (pack_words(tile=512))
+    factors (N, F) f32 per-row factors: per-segment scales (scale_col),
+            precomputed L2 row shifts (r2_cols — summed and subtracted
+            from 2·ip for metric "l2"; see _packed_kernel), original row
+            norm (norm_col, NIP only)
     lv_tables — one per non-uniform segment, in segment order:
               (ln_s, 2^B) for "perdim", (1, 2^B) for "shared"
+    family  — "seg" | "rabitq": selects the variance-prune BOUND shape
+              only (scoring is unified; see _packed_kernel)
     prune   — enable the stage-1 variance/factor tile skip (module
               docstring); requires tile_stats (N/512, 3) f32 and qprune
               (Q, 2) f32, and returns a THIRD element: the number of
@@ -498,12 +506,14 @@ def packed_scan_topk(
         assert tile_stats.shape == (nb, 3), (tile_stats.shape, nb)
         assert qprune.shape == (num_q, 2), qprune.shape
 
+    if metric_kind == "l2":
+        assert r2_cols and all(0 <= c < nf for c in r2_cols), (r2_cols, nf)
+
     lim = jnp.full((1,), n if limit is None else limit, dtype=jnp.int32)
     kernel = functools.partial(
         _packed_kernel, segs=segs, n_lv=n_lv, k=k, nb=nb, tile=tile,
         family=family, metric_kind=metric_kind, norm_col=norm_col,
-        nrm_col=nrm_col, t_col=t_col, sqrt_d=float(sqrt_d),
-        use_bf16=use_bf16, prune=prune,
+        r2_cols=tuple(r2_cols), use_bf16=use_bf16, prune=prune,
     )
 
     def _wspec(seg):
@@ -549,11 +559,9 @@ def packed_scan_topk(
         )
         scratch.append(pltpu.SMEM((1,), jnp.int32))
     in_specs += [
-        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, nf), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + word_specs + lv_specs
     inputs += [
-        mean_cat.reshape(1, d).astype(f32),
         factors.astype(f32),
         *words,
         *[t.astype(f32) for t in lv_tables],

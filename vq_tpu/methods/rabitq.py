@@ -116,7 +116,10 @@ def decode(params: RaBitQParams, codes: jax.Array, num_bits: int) -> jax.Array:
 def _packed_segspec(d: int, num_bits: int):
     from vq_tpu.kernels.pallas_packed import make_segspec
 
-    return make_segspec(num_bits, d, "shared", -1)
+    # scale_col 0 = the estimator scale α = ‖r‖√D/(t‖ŝ‖²), folded into the
+    # dequantized values so the MXU emits α·⟨q,ŝ⟩ directly (an output-side
+    # (1, T) row scale measured 6× slower — kernels/pallas_packed.py)
+    return make_segspec(num_bits, d, "shared", 0)
 
 
 def prepare_packed(
@@ -126,7 +129,11 @@ def prepare_packed(
     norms: Optional[jax.Array] = None,
     row_chunk: int = 131072,
 ):
-    """Byte rows → PackedCorpus.  factors = (‖r‖, t, original-norm-or-1)."""
+    """Byte rows → PackedCorpus.  factors = (α, c2, original-norm-or-1):
+    α = ‖r‖√D/(t‖ŝ‖²) is the estimator scale the kernel folds into the
+    dequantized values (scale_col 0), c2 = 2α·(ŝ·c_rot) + ‖r‖² is the
+    precomputed L2 shift (r2_cols) — all row-side score constants leave
+    the kernel (kernels/pallas_packed.py module docstring)."""
     from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
 
     d = params.centroid.shape[0]
@@ -139,6 +146,8 @@ def prepare_packed(
     n_pad = n + pad
 
     beff = _packed_segspec(d, num_bits).beff
+    c_rot = jnp.dot(params.centroid, params.rotation,
+                    precision=jax.lax.Precision.HIGHEST)
 
     @jax.jit
     def convert(rows):
@@ -149,26 +158,31 @@ def prepare_packed(
         # α‖ŝ‖ = ‖r‖·√D/(t·‖ŝ‖); ‖r‖² is the exact residual norm² term in
         # the L2 score (methods/saq._tile_stats contract: min r², max r)
         s_hat = params.levels[idx]
-        snorm = jnp.sqrt(jnp.sum(s_hat * s_hat, axis=1))
-        r_eff = nrm * jnp.sqrt(jnp.float32(d)) / jnp.maximum(
-            t * snorm, 1e-12
+        snorm_sq = jnp.sum(s_hat * s_hat, axis=1)
+        alpha = nrm * jnp.sqrt(jnp.float32(d)) / jnp.maximum(
+            t * snorm_sq, 1e-12
         )
+        r_eff = alpha * jnp.sqrt(snorm_sq)
+        cdot = jnp.dot(s_hat, c_rot, precision=jax.lax.Precision.HIGHEST)
+        c2 = 2.0 * alpha * cdot + nrm * nrm
         return (pack_words(idx, num_bits, beff, tile=512),
-                jnp.stack([nrm, t], axis=1), r_eff)
+                jnp.stack([alpha, c2], axis=1), nrm, r_eff)
 
-    w_chunks, f_chunks, r_chunks = [], [], []
+    w_chunks, f_chunks, n_chunks, r_chunks = [], [], [], []
     for i0 in range(0, n_pad, row_chunk):
-        w, f, r = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
+        w, f, nr, r = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
         w_chunks.append(w)
         f_chunks.append(f)
+        n_chunks.append(nr)
         r_chunks.append(r)
     words = jnp.concatenate(w_chunks, axis=0) if len(w_chunks) > 1 else w_chunks[0]
     fac = jnp.concatenate(f_chunks, axis=0) if len(f_chunks) > 1 else f_chunks[0]
+    nrm_r = jnp.concatenate(n_chunks, axis=0) if len(n_chunks) > 1 else n_chunks[0]
     r_eff = jnp.concatenate(r_chunks, axis=0) if len(r_chunks) > 1 else r_chunks[0]
     # min/max columns: min over rows of ‖r‖ (the −nrm² score term), max of
     # the Cauchy-Schwarz scale α‖ŝ‖; no CAQ margin for this estimator
     valid = jnp.arange(n_pad) < n
-    min_r = jnp.where(valid, fac[:, 0], jnp.inf).reshape(-1, 512).min(axis=1)
+    min_r = jnp.where(valid, nrm_r, jnp.inf).reshape(-1, 512).min(axis=1)
     min_r = jnp.where(jnp.isfinite(min_r), min_r, 0.0)
     max_r = jnp.where(valid, r_eff, 0.0).reshape(-1, 512).max(axis=1)
     stats = jnp.stack(
@@ -202,7 +216,6 @@ def _packed_scan(params, queries, packed, k, metric, num_bits,
     qc = jnp.dot(queries, params.centroid, precision=jax.lax.Precision.HIGHEST)
     c_sq = jnp.sum(params.centroid**2)
     q_cat = qr
-    mean_cat = cr
     if metric == Metric.L2:
         kind, qa = "l2", 2.0 * qc - c_sq
     elif metric == Metric.IP:
@@ -221,9 +234,9 @@ def _packed_scan(params, queries, packed, k, metric, num_bits,
         )
         qprune = jnp.stack([qa, b], axis=1)
     return packed_scan_topk(
-        q_cat, qa, mean_cat, packed.words, packed.factors, (lv,), (seg,), k,
-        family="rabitq", metric_kind=kind, norm_col=2, nrm_col=0, t_col=1,
-        sqrt_d=float(np.sqrt(d)), limit=limit, interpret=interpret,
+        q_cat, qa, packed.words, packed.factors, (lv,), (seg,), k,
+        family="rabitq", metric_kind=kind, norm_col=2, r2_cols=(1,),
+        limit=limit, interpret=interpret,
         use_bf16=use_bf16, prune=prune,
         tile_stats=packed.tile_stats if prune else None, qprune=qprune,
     )

@@ -211,7 +211,9 @@ def prepare_packed(params, bits, layout, codes, packing: str,
                    norms: Optional[jax.Array] = None, row_chunk: int = 131072):
     """Packed rows (dense or FFD) → PackedCorpus: decode to per-dim indices,
     re-pack as interleaved bitplane words per equal-bit segment.  factors =
-    (original-norm-or-1,) for Metric.NIP."""
+    (r2_0..r2_{S-1}, original-norm-or-1): per-segment precomputed L2 shifts
+    r2_s = 2·μ_s·ŷ_s + ‖ŷ_s‖² (kernels/pallas_packed.py r2_cols), then the
+    norm column for Metric.NIP."""
     from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
 
     n = codes.shape[0]
@@ -223,6 +225,8 @@ def prepare_packed(params, bits, layout, codes, packing: str,
     n_pad = n + pad
 
     segspecs = _packed_segspecs(params, bits)[0]
+    mu_v = jnp.dot(params.mean, params.rotation,
+                   precision=jax.lax.Precision.HIGHEST)
 
     @jax.jit
     def convert(rows):
@@ -230,16 +234,22 @@ def prepare_packed(params, bits, layout, codes, packing: str,
             idx = ffd_decode_codes(rows, layout)
         else:
             idx = dense_decode_codes(rows, bits)
-        # ‖ŷ‖² over allocated dims feeds the variance-prune tile stats
+        # ‖ŷ‖² over allocated dims feeds the variance-prune tile stats;
+        # per-segment r2_s = 2·μ_s·ŷ_s + ‖ŷ_s‖² are the kernel's L2 shifts
         y_hat = _dequantize_y(params, idx)
         rsq = jnp.zeros((rows.shape[0],), jnp.float32)
+        r2_cols = []
         for st, ln, _b in runs:
             seg = y_hat[:, st : st + ln]
-            rsq = rsq + jnp.sum(seg * seg, axis=1)
+            rsq_s = jnp.sum(seg * seg, axis=1)
+            md_s = jnp.dot(seg, mu_v[st : st + ln],
+                           precision=jax.lax.Precision.HIGHEST)
+            r2_cols.append((2.0 * md_s + rsq_s)[:, None])
+            rsq = rsq + rsq_s
         return tuple(
             pack_words(idx[:, st : st + ln], b, seg.beff, tile=512)
             for (st, ln, b), seg in zip(runs, segspecs)
-        ), rsq
+        ), jnp.concatenate(r2_cols, axis=1), rsq
 
     chunks = [
         convert(codes[i0 : min(i0 + row_chunk, n_pad)])
@@ -251,9 +261,13 @@ def prepare_packed(params, bits, layout, codes, packing: str,
         if len(w_chunks) > 1 else w_chunks[0][s]
         for s in range(len(runs))
     )
-    rhat_sq = (
+    r2 = (
         jnp.concatenate([c[1] for c in chunks], axis=0)
         if len(chunks) > 1 else chunks[0][1]
+    )
+    rhat_sq = (
+        jnp.concatenate([c[2] for c in chunks], axis=0)
+        if len(chunks) > 1 else chunks[0][2]
     )
     from vq_tpu.methods.saq import _tile_stats, prune_hint_from_stats
 
@@ -265,6 +279,7 @@ def prepare_packed(params, bits, layout, codes, packing: str,
     )
     if pad:
         fac = jnp.pad(fac, ((0, pad), (0, 0)), constant_values=1.0)
+    fac = jnp.concatenate([r2, fac], axis=1)
     return PackedCorpus(words=words, factors=fac, num_rows=n,
                         tile_stats=stats, has_norms=norms is not None,
                         prune_hint=prune_hint_from_stats(stats))
@@ -302,9 +317,11 @@ def _packed_scan(params, bits, queries, packed, k, metric,
             axis=1,
         )
         qprune = jnp.stack([qa, b], axis=1)
+    s_cnt = len(segs)
     return packed_scan_topk(
-        q_cat, qa, mean_cat, packed.words, packed.factors, lv_tables, segs, k,
-        family="seg", metric_kind=kind, norm_col=0, limit=limit,
+        q_cat, qa, packed.words, packed.factors, lv_tables, segs, k,
+        family="seg", metric_kind=kind, norm_col=s_cnt,
+        r2_cols=tuple(range(s_cnt)), limit=limit,
         interpret=interpret, use_bf16=use_bf16, prune=prune,
         tile_stats=packed.tile_stats if prune else None, qprune=qprune,
     )
@@ -318,7 +335,8 @@ def _packed_available(params, bits, num_q, interpret=False):
         return False
     d = sum(s.ln for s in segs)
     ok = packed_scan_available(
-        segs, num_q, d, 1, [int(np.prod(t.shape)) for t in lv_tables]
+        segs, num_q, d, len(segs) + 1,
+        [int(np.prod(t.shape)) for t in lv_tables]
     )
     return ok or (interpret and all(s.bits <= 8 for s in segs))
 

@@ -518,10 +518,11 @@ def prepare_packed(
     row_chunk: int = 131072,
     sort_rows: bool = False,
 ) -> "PackedCorpus":
-    """Byte rows → PackedCorpus (factors col s = segment s rescale; col S =
-    original row norm for Metric.NIP, 1.0 when absent), chunked so the
-    (chunk, D, 8) unpack intermediates stay bounded at multi-million-row
-    corpora.
+    """Byte rows → PackedCorpus (factors col s = segment s rescale; col
+    S+s = segment s's precomputed L2 shift r2_s = 2·mean_s·r̂_s + ‖r̂_s‖²,
+    summed in-kernel per scanned segment subset; col 2S = original row
+    norm for Metric.NIP, 1.0 when absent), chunked so the (chunk, D, 8)
+    unpack intermediates stay bounded at multi-million-row corpora.
 
     Also derives the variance-prune tile stats: per-row ‖r̂‖² (dequantized
     residual norm) and the CAQ error margin Σ_s fac_error_s/‖o_s‖.  The
@@ -555,12 +556,22 @@ def prepare_packed(
     n_pad = n + pad
 
     segspecs = packed_segspecs(plan, params)[0]
+    # mean in code space, per segment (the L2 cross-term side of r2_s)
+    mean_p = jnp.dot(params.pca_mean, params.pca_rot,
+                     precision=jax.lax.Precision.HIGHEST)
+    mean_segs = [
+        jnp.dot(mean_p[plan.seg_starts[s] : plan.seg_starts[s]
+                       + plan.seg_lens[s]], params.seg_rots[s],
+                precision=jax.lax.Precision.HIGHEST)
+        for s in range(plan.num_segments)
+    ]
 
     @jax.jit
     def convert(rows):
         parts = _split_row(plan, rows)
         words = []
         fac_cols = []
+        r2_cols = []
         rhat_sq = jnp.zeros((rows.shape[0],), jnp.float32)
         me = jnp.zeros((rows.shape[0],), jnp.float32)
         for s, (packed, rescale, nrm) in enumerate(parts):
@@ -571,13 +582,17 @@ def prepare_packed(
             fac_cols.append(rescale[:, None])
             val = _seg_dequant(plan, params, s, idx, rescale)
             rsq_s = jnp.sum(val * val, axis=1)
+            md_s = jnp.dot(val, mean_segs[s],
+                           precision=jax.lax.Precision.HIGHEST)
+            r2_cols.append((2.0 * md_s + rsq_s)[:, None])
             rhat_sq = rhat_sq + rsq_s
             osq_s = jnp.maximum(nrm * nrm, 1e-30)
             cos_term = jnp.maximum(rsq_s / osq_s - 1.0, 0.0)
             me = me + nrm * _CONST_EPSILON * jnp.sqrt(
                 cos_term / max(ln - 1, 1)
             )
-        return tuple(words), jnp.concatenate(fac_cols, axis=1), rhat_sq, me
+        fac = jnp.concatenate(fac_cols + r2_cols, axis=1)
+        return tuple(words), fac, rhat_sq, me
 
     w_chunks, f_chunks, r_chunks, m_chunks = [], [], [], []
     for i0 in range(0, n_pad, row_chunk):  # row_chunk % 512 == 0
@@ -675,9 +690,11 @@ def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
         else:
             b = jnp.linalg.norm(q_cat, axis=1)
         qprune = jnp.stack([qa, b], axis=1)
+    s_cnt = plan.num_segments
     return packed_scan_topk(
-        q_cat, qa, mean_cat, words, packed.factors, lv_sub, seg_sub, k,
-        family="seg", metric_kind=kind, norm_col=plan.num_segments,
+        q_cat, qa, words, packed.factors, lv_sub, seg_sub, k,
+        family="seg", metric_kind=kind, norm_col=2 * s_cnt,
+        r2_cols=tuple(s_cnt + s for s in seg_ids),
         limit=limit, interpret=interpret, use_bf16=use_bf16,
         prune=prune, tile_stats=packed.tile_stats if prune else None,
         qprune=qprune,
@@ -690,7 +707,7 @@ def _packed_available(plan, params, num_q, interpret=False):
     segs, lv_tables = packed_segspecs(plan, params)
     d = sum(s.ln for s in segs)
     ok = packed_scan_available(
-        segs, num_q, d, plan.num_segments + 1,
+        segs, num_q, d, 2 * plan.num_segments + 1,
         [int(np.prod(t.shape)) for t in lv_tables],
     )
     return ok or (interpret and all(
