@@ -14,6 +14,10 @@ additions ride as extra fields in the same JSON object:
   saq_packed_* / rabitq_packed_* — the packed-word Pallas kernel
       (kernels/pallas_packed.py) on the record: SAQ bpd=2 and RaBitQ B=2 at
       D=1024, N=1M, Q=256, k=10, sustained QPS/chip + recall@10.
+  saq_prune_banded_qps / saq_dense_banded_qps / saq_prune_tiles_frac —
+      the stage-1 variance-prune (varsEstDist analog) on its winning
+      regime: norm-heterogeneous corpus, norm-ordered packing, banded
+      query batch (see BENCH_NOTES crossover table).
   assert_ok — compiled-mode bit-exactness executed on the REAL chip every
       run: packed-kernel ids vs the XLA-fallback scan ids at 512-multiple
       shapes, SAQ + RaBitQ, f32 scoring (interpret-mode tests alone cannot
@@ -303,6 +307,59 @@ def packed_saq_1m(jax, jnp, out, fast):
         saq_tiles_scanned_frac=round(int(scanned) / nb, 4),
         saq_code_bytes=int(m.plan.code_bytes),
     )
+    del cache
+
+    # variance-prune showcase: same plan on a norm-heterogeneous (lognormal
+    # row scale) corpus, norm-ordered packing, norm-banded query batch —
+    # the regime where the stage-1 tile skip fires (BENCH_NOTES crossover
+    # table).  Exact by construction; recorded as its own QPS + skip rows.
+    def enc_ln(x, i):
+        sc = jnp.exp(0.5 * jax.random.normal(
+            jax.random.PRNGKey(300 + i), (x.shape[0], 1), jnp.float32))
+        return x * sc
+
+    xs, cs = [], []
+    for i in range(0, n, 131_072):
+        key = jax.random.PRNGKey(400 + i)
+        xl = jax.random.normal(key, (min(131_072, n - i), d),
+                               jnp.float32) * sigma
+        xl = enc_ln(xl, i)
+        xs.append(xl)
+        cs.append(enc(xl))
+    x_ln = jnp.concatenate(xs, axis=0)
+    codes_ln = jnp.concatenate(cs, axis=0)
+    del xs, cs
+    cache_ln = saq_mod.prepare_packed(m.plan, m.params, codes_ln,
+                                      sort_rows=True)
+    nrm = jnp.linalg.norm(x_ln[:131_072], axis=1)
+    band = jnp.argsort(nrm)[:nq]
+    qb = x_ln[band] + 0.05 * sigma * jax.random.normal(
+        jax.random.PRNGKey(5), (nq, d), jnp.float32)
+    _, _, scanned_ln = saq_mod._packed_scan(
+        m.plan, m.params, qb, cache_ln, k, Metric.L2, prune=True
+    )
+
+    def scan_pr(qq, codes, cache, prune):
+        return saq_mod.scan_topk(
+            m.plan, m.params, qq, codes, k, Metric.L2,
+            packed_cache=cache, use_packed=True, prune_tiles=prune,
+        )
+
+    for name, prune in (("saq_prune_banded", True), ("saq_dense_banded", False)):
+        @jax.jit
+        def run_pr(q, codes, cache, prune=prune):
+            def body(_, acc):
+                s, i = scan_pr(q + acc * 0, codes, cache, prune)
+                return acc + s[0, 0] * 1e-30
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        float(run_pr(qb, codes_ln, cache_ln))
+        _, best_pr, _ = _sustained(
+            lambda: float(run_pr(qb, codes_ln, cache_ln)), reps=reps, outer=3
+        )
+        out[f"{name}_qps"] = round(nq / best_pr, 1)
+    out["saq_prune_tiles_frac"] = round(int(scanned_ln) / nb, 4)
+    del x_ln, codes_ln, cache_ln
     return m, codes, x
 
 

@@ -166,7 +166,12 @@ def main() -> None:
                 def run_one(name, fn, qq, cache, i_dense, nb, raw):
                     # raw=True: fn is the bare kernel — map sorted scan
                     # positions back to corpus ids through perm
-                    t = timed(fn, reps, (qq, codes, cache))
+                    try:
+                        t = timed(fn, reps, (qq, codes, cache))
+                    except Exception as e:  # HBM OOM on the rerank gather
+                        print(f"| {kind} | {bpd:g} | {s} | {name} | "
+                              f"OOM: {type(e).__name__} | | | |", flush=True)
+                        return
                     out = fn(jnp.float32(0), qq, codes, cache)
                     ids = out[1]
                     if raw and cache.perm is not None:
@@ -189,8 +194,16 @@ def main() -> None:
                 if n <= 1_048_576:  # packed-vs-XLA comparison row
                     run_one("dense (XLA fallback)", dense_xla, q, cache,
                             i_dense, nb, raw=False)
-                run_one("head-prune+rerank", headprune, q, cache, i_dense,
-                        nb, raw=False)
+                if n <= 4_194_304 or bpd < 2:
+                    run_one("head-prune+rerank", headprune, q, cache,
+                            i_dense, nb, raw=False)
+                else:
+                    # measured: the stage-2 rerank gather OOMs 16 GB HBM at
+                    # 10M×bpd≥2 alongside the resident corpus — and the
+                    # strategy already loses 6× at 4M, so nothing to chase
+                    print(f"| {kind} | {bpd:g} | {s} | head-prune+rerank | "
+                          "skipped: rerank gather exceeds HBM at this N | "
+                          "| | |", flush=True)
                 i_dense_b = np.asarray(
                     dense(jnp.float32(0), q_banded, codes, cache)[1])
                 del cache

@@ -542,18 +542,32 @@ def prepare_packed(
 
     n = codes.shape[0]
     perm = None
+    order = None
     if sort_rows and n > 512:
         order = jnp.argsort(_row_norm_key(plan, codes))
-        codes = jnp.take(codes, order, axis=0)
         if norms is not None:
             norms = jnp.take(norms, order)
         perm = order.astype(jnp.int32)
     s_count = plan.num_segments
     row_chunk = max(512, row_chunk - row_chunk % 512)  # keep chunks % u == 0
     pad = (-n) % 512
-    if pad:  # zero byte rows parse to idx 0 / rescale 0; `limit` masks them
+    if pad and order is None:
+        # zero byte rows parse to idx 0 / rescale 0; `limit` masks them
         codes = jnp.pad(codes, ((0, pad), (0, 0)))
     n_pad = n + pad
+
+    def chunk_rows(i0):
+        """Conversion-loop input chunk; when norm-ordering, gather the
+        chunk's rows by `order` here instead of materializing the whole
+        sorted byte array (a second full copy — 3 GB at 10M×bpd2, the
+        difference between fitting in HBM and not)."""
+        i1 = min(i0 + row_chunk, n_pad)
+        if order is None:
+            return codes[i0:i1]
+        rows = jnp.take(codes, order[i0:min(i1, n)], axis=0)
+        if i1 > n:  # boundary chunk: zero pad rows at the sorted tail
+            rows = jnp.pad(rows, ((0, i1 - max(i0, n)), (0, 0)))
+        return rows
 
     segspecs = packed_segspecs(plan, params)[0]
     # mean in code space, per segment (the L2 cross-term side of r2_s)
@@ -596,7 +610,7 @@ def prepare_packed(
 
     w_chunks, f_chunks, r_chunks, m_chunks = [], [], [], []
     for i0 in range(0, n_pad, row_chunk):  # row_chunk % 512 == 0
-        w, f, r, m = convert(codes[i0 : min(i0 + row_chunk, n_pad)])
+        w, f, r, m = convert(chunk_rows(i0))
         w_chunks.append(w)
         f_chunks.append(f)
         r_chunks.append(r)
@@ -754,12 +768,12 @@ def scan_topk(
     * prune_segments > 0 — the fastscan-estimate analog (stage 2): score
       every row using only the first `prune_segments` PCA segments (the
       high-variance head), keep rerank_factor·k candidates, gather and
-      rescore exactly with all segments.  Measured LOSING at N ≤ 100k
-      (v5e: 10.4 ms dense vs 42.9 ms cascade at N=100k, D=384 — the
-      stage-2 row gather is TPU's weak spot, the analog of the
-      reference's gather-bound CPU finding, bench/ffd_speed.cpp:10-16);
-      see BENCH_NOTES.md for the N ∈ {1M, 4M, 10M} crossover table.
-      Default off.
+      rescore exactly with all segments.  Measured LOSING at every scale
+      (v5e crossover grid, BENCH_NOTES.md: 5–7× slower than dense at
+      N ∈ {1M, 4M, 10M}, all bpd — the stage-2 row gather is TPU's weak
+      spot, the analog of the reference's gather-bound CPU finding,
+      bench/ffd_speed.cpp:10-16 — and it OOMs beside a 10M resident
+      corpus at bpd≥2).  Kept for capability parity; default off.
     """
     n = codes.shape[0]
     num_q = queries.shape[0]
