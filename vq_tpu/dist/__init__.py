@@ -1,6 +1,7 @@
 from vq_tpu.dist.mesh import make_mesh, shard_rows, replicate
 from vq_tpu.dist.sharded import (
     sharded_scan_topk,
+    sharded_generic_scan_topk,
     sharded_exact_topk,
     dp_lloyd_step,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "shard_rows",
     "replicate",
     "sharded_scan_topk",
+    "sharded_generic_scan_topk",
     "sharded_exact_topk",
     "dp_lloyd_step",
 ]

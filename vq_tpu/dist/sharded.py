@@ -54,33 +54,26 @@ def _merge_local_topk(
     return out_s, out_i
 
 
-def sharded_scan_topk(
+def _sharded_scan(
     mesh: Mesh,
     queries: jax.Array,
     codes: jax.Array,
-    codebooks: jax.Array,
+    norms: Optional[jax.Array],
+    scan_fn,
     k: int,
-    metric: Metric = Metric.L2,
-    norms: Optional[jax.Array] = None,
-    true_n: Optional[int] = None,
-    tile_rows: int = 2048,
-    use_bf16: bool = True,
-    overlap_chunks: int = 1,
+    metric: Metric,
+    true_n: Optional[int],
+    overlap_chunks: int,
+    extra_args: Tuple[jax.Array, ...] = (),
+    extra_specs: Tuple = (),
 ) -> Tuple[jax.Array, jax.Array]:
-    """ADC search over a row-sharded PQ corpus with cross-chip top-k merge.
+    """Shared machinery for row-sharded scans with cross-chip top-k merge.
 
-    codes (N_pad, M) must be row-sharded with N_pad divisible by the mesh;
-    `true_n` masks the pad rows (global ids ≥ true_n never surface).
-    Returns replicated (Q, k) scores/ids with GLOBAL row ids.
-
-    overlap_chunks > 1 overlaps the cross-shard merge with the scan
-    (SURVEY.md §5 long-context row): the local shard is scanned in C
-    chunks inside a lax.scan, each chunk's (Q, k) local top-k is
-    all_gather-merged into the running result, and because chunk c+1's
-    scan does not depend on chunk c's merge, XLA's async collectives hide
-    each tiny (Q, P·k) gather behind the next chunk's MXU work — instead
-    of one all_gather serialized after the entire local scan.  Exact:
-    every chunk's candidates pass through the merge.
+    scan_fn(q, codes_c, norms_c, num_valid, *extra) → maximize-or-natural
+    (scores, local ids) over one chunk of the local shard; `extra_args`
+    are replicated inputs (e.g. PQ codebooks) threaded through shard_map
+    so large arrays are arguments, not baked-in constants (the axon
+    tunnel serializes jit constants into the compile request).
     """
     n_pad = codes.shape[0]
     true_n = true_n if true_n is not None else n_pad
@@ -92,7 +85,7 @@ def sharded_scan_topk(
     while n_local_g % chunks:
         chunks -= 1
 
-    def local(q, codes_l, cb, norms_l):
+    def local(q, codes_l, norms_l, *extra):
         shard = jax.lax.axis_index(DATA_AXIS)
         n_local = codes_l.shape[0]
 
@@ -101,10 +94,8 @@ def sharded_scan_topk(
             # so they never occupy candidate slots
             nv = jnp.clip(true_n - shard * n_local - row0, 0,
                           codes_c.shape[0])
-            s, i = scan_codes_topk(
-                q, codes_c, cb, k, metric=metric,
-                norms=norms_c if has_norms else None,
-                tile_rows=tile_rows, use_bf16=use_bf16, num_valid=nv,
+            s, i = scan_fn(
+                q, codes_c, norms_c if has_norms else None, nv, *extra
             )
             gid = i + shard * n_local + row0
             bad = gid >= true_n
@@ -144,13 +135,93 @@ def sharded_scan_topk(
     if not has_norms:
         norms = jnp.ones((n_pad,), dtype=jnp.float32)
 
+    code_spec = P(DATA_AXIS, *([None] * (codes.ndim - 1)))
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None), P(DATA_AXIS, None), P(None, None, None), P(DATA_AXIS)),
+        in_specs=(P(None, None), code_spec, P(DATA_AXIS)) + tuple(extra_specs),
         out_specs=(P(None, None), P(None, None)),
     )
-    return jax.jit(fn)(queries, codes, codebooks, norms)
+    return jax.jit(fn)(queries, codes, norms, *extra_args)
+
+
+def sharded_scan_topk(
+    mesh: Mesh,
+    queries: jax.Array,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    norms: Optional[jax.Array] = None,
+    true_n: Optional[int] = None,
+    tile_rows: int = 2048,
+    use_bf16: bool = True,
+    overlap_chunks: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """ADC search over a row-sharded PQ corpus with cross-chip top-k merge.
+
+    codes (N_pad, M) must be row-sharded with N_pad divisible by the mesh;
+    `true_n` masks the pad rows (global ids ≥ true_n never surface).
+    Returns replicated (Q, k) scores/ids with GLOBAL row ids.
+
+    overlap_chunks > 1 overlaps the cross-shard merge with the scan
+    (SURVEY.md §5 long-context row): the local shard is scanned in C
+    chunks inside a lax.scan, each chunk's (Q, k) local top-k is
+    all_gather-merged into the running result, and because chunk c+1's
+    scan does not depend on chunk c's merge, XLA's async collectives hide
+    each tiny (Q, P·k) gather behind the next chunk's MXU work — instead
+    of one all_gather serialized after the entire local scan.  Exact:
+    every chunk's candidates pass through the merge.
+    """
+
+    def scan_fn(q, codes_c, norms_c, nv, cb):
+        return scan_codes_topk(
+            q, codes_c, cb, k, metric=metric, norms=norms_c,
+            tile_rows=tile_rows, use_bf16=use_bf16, num_valid=nv,
+        )
+
+    return _sharded_scan(
+        mesh, queries, codes, norms, scan_fn, k, metric, true_n,
+        overlap_chunks, extra_args=(codebooks,),
+        extra_specs=(P(*([None] * codebooks.ndim)),),
+    )
+
+
+def sharded_generic_scan_topk(
+    mesh: Mesh,
+    queries: jax.Array,
+    codes: jax.Array,
+    decode_fn,
+    k: int,
+    metric: Metric = Metric.L2,
+    norms: Optional[jax.Array] = None,
+    true_n: Optional[int] = None,
+    tile_rows: int = 4096,
+    use_bf16: bool = True,
+    overlap_chunks: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-sharded fused decode→score→top-k scan for ANY quantizer.
+
+    The generic-method analog of sharded_scan_topk: each shard runs
+    kernels/adc.scan_generic_topk over its rows with the method's
+    jax-traceable `decode_fn` (methods/base.BaseQuantizer contract), and
+    per-shard candidates merge exactly across the mesh (optionally
+    overlapped, see sharded_scan_topk).  Quantizer params ride inside
+    decode_fn's closure — fine for the rotation/level tables of the
+    scalar methods; PQ's big codebooks use the specialised path above.
+    """
+    from vq_tpu.kernels.adc import scan_generic_topk
+
+    def scan_fn(q, codes_c, norms_c, nv):
+        return scan_generic_topk(
+            q, codes_c, decode_fn, k, metric=metric, norms=norms_c,
+            tile_rows=tile_rows, use_bf16=use_bf16, num_valid=nv,
+        )
+
+    return _sharded_scan(
+        mesh, queries, codes, norms, scan_fn, k, metric, true_n,
+        overlap_chunks,
+    )
 
 
 def sharded_exact_topk(
