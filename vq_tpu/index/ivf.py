@@ -22,6 +22,15 @@ Queries run in fixed-size blocks so the decoded-window buffer stays
 bounded at serving batch sizes.  decompress() reconstructs any row by
 GLOBAL id (residual decode + centroid add), the reference engine's
 IVF::decompress (external/saq/src/ivf_index.cpp:245-374).
+
+Scan-strategy note (BENCH_NOTES crossover table): the flat packed-kernel
+cascades don't transfer here by design — IVF probing IS the candidate-
+restriction stage (it reads ~nprobe/K of the corpus before any scoring),
+the probed windows are far below the 512-row tile the variance bound
+amortizes over, and cluster residuals are norm-concentrated by
+construction (the coarse assignment removes the norm heterogeneity the
+flat-scan bound feeds on).  Dense decode_fn windows on the MXU are the
+measured-right default for list scanning, as for the flat scan.
 """
 
 from __future__ import annotations
