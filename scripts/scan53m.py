@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""53M-row streaming PQ on ONE chip — the reference's full-53M envelope.
+
+The reference's full 53M MS MARCO streaming-PQ run is an 18–24 h / 12 GB
+CPU job (reference README.md:222-228,345-352); its single-core ADC rate is
+~2.4 M rows/s (bench/ffd_speed.cpp).  This script runs the same shape of
+pipeline TPU-native, end to end, on one v5e: stream-generate a 53M×1024
+corpus in 131k-row chunks ON DEVICE (the real pipeline streams from disk;
+generation stands in for IO so the measurement isolates the engine), fit
+PQ M=16 B=8 on the first chunk, encode every chunk (only the 16-byte codes
+stay resident — 848 MB at 53M), then run the fused in-kernel-top-k ADC
+scan over all 53M rows, sustained.
+
+Smoke-quality check: queries are jittered rows of the LAST chunk (whose
+raw vectors we still hold); their true nearest neighbor is their source
+row, so top-1 must recover the source global id for ≥95% of queries —
+a correctness signal that needs no 217 GB ground-truth corpus.
+
+Usage: python scripts/scan53m.py [--n 53000000] [--q 1024]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vq_tpu.cli import _enable_compilation_cache
+    from vq_tpu.core.config import KMeansConfig, Metric, PQConfig
+    from vq_tpu.kernels.adc import scan_codes_topk
+    from vq_tpu.methods import pq as pq_mod
+
+    _enable_compilation_cache()
+
+    args = sys.argv[1:]
+
+    def _get(flag, default):
+        return int(args[args.index(flag) + 1]) if flag in args else default
+
+    n = _get("--n", 53_000_000)
+    nq = _get("--q", 1024)
+    d, k, chunk = 1024, 10, 131_072
+    sigma = jnp.asarray(((1.0 + np.arange(d)) ** -0.6).astype(np.float32))
+
+    def gen_chunk(i0, rows):
+        key = jax.random.PRNGKey(1000 + i0)
+        return jax.random.normal(key, (rows, d), jnp.float32) * sigma
+
+    t0 = time.perf_counter()
+    cfg = PQConfig(num_subquantizers=16, num_bits=8,
+                   kmeans=KMeansConfig(iters=15))
+    params = pq_mod.fit(jax.random.PRNGKey(0), gen_chunk(0, chunk), cfg)
+    t_fit = time.perf_counter() - t0
+
+    enc = jax.jit(lambda x: pq_mod.encode(params, x))
+    t0 = time.perf_counter()
+    code_chunks = []
+    last_x = None
+    for i0 in range(0, n, chunk):
+        x = gen_chunk(i0, min(chunk, n - i0))
+        code_chunks.append(enc(x))
+        last_x, last_i0 = x, i0
+    codes = jnp.concatenate(code_chunks, axis=0)
+    codes.block_until_ready()
+    del code_chunks
+    t_encode = time.perf_counter() - t0
+
+    # queries: jittered rows of the last (still-resident) chunk
+    qi = jax.random.randint(jax.random.PRNGKey(2), (nq,), 0, last_x.shape[0])
+    q = last_x[qi] + 0.05 * sigma * jax.random.normal(
+        jax.random.PRNGKey(3), (nq, d), jnp.float32)
+    src_gid = np.asarray(qi) + last_i0
+    del last_x
+
+    tile = 16384
+    ids = np.asarray(scan_codes_topk(
+        q, codes, params.codebooks, k=k, metric=Metric.L2,
+        tile_rows=tile, use_bf16=True)[1])
+    top1 = float(np.mean(ids[:, 0] == src_gid))
+
+    reps = 3
+
+    @jax.jit
+    def run_reps(q, codes, cb):
+        def body(_, acc):
+            s, i = scan_codes_topk(q + acc * 0, codes, cb, k=k,
+                                   metric=Metric.L2, tile_rows=tile,
+                                   use_bf16=True)
+            return acc + s[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    float(run_reps(q, codes, params.codebooks))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_reps(q, codes, params.codebooks))
+        best = min(best, (time.perf_counter() - t0) / reps)
+
+    print(json.dumps({
+        "n": n,
+        "fit_s": round(t_fit, 1),
+        "encode_s": round(t_encode, 1),
+        "encode_rows_per_s": round(n / t_encode, 0),
+        "scan_s_per_batch": round(best, 3),
+        "qps_per_chip": round(nq / best, 1),
+        "rows_scored_per_s": round(n * nq / best, 0),
+        "top1_source_recovery": round(top1, 4),
+        "code_bytes_total": int(codes.nbytes),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,9 +41,12 @@ def _decode_tile(codes_ref, cb_ref, dec_ref, *, num_sub, k_size, dsub, tile,
     on group: (M·K, dsub) for group=1, (M·K, g·dsub) block-diagonal
     (built by _stack_codebooks) otherwise.
     """
+    # codes arrive as uint8 and widen PER TILE in VMEM: a whole-corpus
+    # astype(int32) in HBM pays the (8,128)-tiled layout's 128-lane pad —
+    # 32 bytes/row-of-16-codes becomes 512, 27 GB at N=53M (measured OOM)
     if group == 1:
         for m in range(num_sub):
-            idx = codes_ref[:, m]  # (tile,)
+            idx = codes_ref[:, m].astype(jnp.int32)  # (tile,)
             cols = jax.lax.broadcasted_iota(jnp.int32, (tile, k_size), 1)
             onehot = (cols == idx[:, None]).astype(jnp.bfloat16)
             dec_ref[:, m * dsub : (m + 1) * dsub] = jnp.dot(
@@ -60,7 +63,8 @@ def _decode_tile(codes_ref, cb_ref, dec_ref, *, num_sub, k_size, dsub, tile,
         # concatenated one-hot over the group's flattened (m_local, code)
         oh = jnp.zeros((tile, gk), dtype=jnp.bool_)
         for ml in range(group):
-            oh = oh | ((divk == ml) & (modk == codes_ref[:, g0 + ml][:, None]))
+            idx_ml = codes_ref[:, g0 + ml].astype(jnp.int32)
+            oh = oh | ((divk == ml) & (modk == idx_ml[:, None]))
         dec_ref[:, g0 * dsub : (g0 + group) * dsub] = jnp.dot(
             oh.astype(jnp.bfloat16),
             cb_ref[g0 * k_size : (g0 + group) * k_size, :],
@@ -93,7 +97,7 @@ def _scan_kernel(q_ref, codes_ref, cb_ref, out_ref, dec_ref, *, num_sub, k_size,
     """One grid step: decode `tile` rows, score against all queries.
 
     q_ref   (Q, D) bf16      — resident queries (rotated/unchanged)
-    codes_ref (tile, M) i32  — this tile's PQ codes
+    codes_ref (tile, M) u8   — this tile's PQ codes (widened per tile)
     cb_ref  stacked codebooks bf16 (see _decode_tile)
     out_ref (Q, tile) f32    — maximize-form scores
     dec_ref (tile, M·dsub) bf16 VMEM scratch — decoded tile
@@ -136,7 +140,7 @@ def pq_score_all(
     group = _validate_group(group, num_sub)
     q = queries.astype(jnp.bfloat16)
     cb = _stack_codebooks(codebooks, group)
-    codes_i = codes.astype(jnp.int32)
+    codes_i = codes.astype(jnp.uint8)  # widened per tile IN the kernel
 
     kernel = functools.partial(
         _scan_kernel, num_sub=num_sub, k_size=k_size, dsub=dsub, tile=tile,
@@ -260,7 +264,7 @@ def pq_scan_topk_fused(
     group = _validate_group(group, num_sub)
     q = queries.astype(jnp.bfloat16)
     cb = _stack_codebooks(codebooks, group)
-    codes_i = codes.astype(jnp.int32)
+    codes_i = codes.astype(jnp.uint8)  # widened per tile IN the kernel
     nb = n // tile
     lim = jnp.full((1,), n if limit is None else limit, dtype=jnp.int32)
 
