@@ -55,3 +55,28 @@ class ScanStats:
             "qps": self.num_queries / w,
             "rows_per_s": self.num_rows * self.num_queries / w,
         }
+
+    def report_staged(
+        self, wall_seconds: float, tiles_scanned: int, tiles_total: int,
+        tile: int = 512,
+    ) -> dict:
+        """Per-stage counters for a variance-pruned packed scan — the
+        direct QueryRuntimeMetrics analog (fast_bitsum / acc_bitsum /
+        total_comp_cnt): stage 1 touches only the (3,) f32 tile stats of
+        every tile (fast_bitsum); stage 2 unpacks/dequantizes/scores the
+        codes of the tiles that survived (acc_bitsum, total_comp_cnt).
+        `tiles_scanned` comes from the kernel's scanned counter
+        (kernels/pallas_packed.packed_scan_topk(prune=True) third output).
+        """
+        frac = tiles_scanned / max(tiles_total, 1)
+        rows_scored = tiles_scanned * tile
+        out = self.report(wall_seconds)
+        out.update(
+            fast_bitsum=tiles_total * 3 * 32,
+            acc_bitsum=int(frac * self.bytes_scanned * 8),
+            total_comp_cnt=rows_scored * self.num_queries,
+            tiles_scanned=tiles_scanned,
+            tiles_total=tiles_total,
+            scan_fraction=frac,
+        )
+        return out
