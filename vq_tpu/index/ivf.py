@@ -249,15 +249,26 @@ class IvfQuantizedIndex(BaseSearchIndex):
         return run(queries, kk=k, np_=nprobe)
 
     def search_with_scores(
-        self, queries: np.ndarray, k: int = 10, query_block: int = 256
+        self, queries: np.ndarray, k: int = 10,
+        query_block: Optional[int] = None, chunk: int = 512,
+        decode_budget_bytes: int = 2 << 30,
     ) -> Tuple[np.ndarray, np.ndarray]:
         nprobe = min(self.ivf_cfg.nprobe, self.centroids.shape[0])
         q = jnp.asarray(queries)
+        if query_block is None:
+            # the scan window decodes (block, nprobe, chunk) rows of D f32
+            # — auto-size the query block so that buffer stays under the
+            # budget at any (D, nprobe): e.g. D=1536, nprobe=64 → block 8
+            # (a fixed 256 block measured 24 GB HBM → OOM)
+            d = self.centroids.shape[1]
+            rows = max(1, decode_budget_bytes // (4 * d * nprobe * chunk))
+            query_block = int(np.clip(1 << int(np.log2(rows)), 8, 256))
         # fixed-size query blocks bound the decoded-window buffer at
         # (block, nprobe, chunk) rows regardless of the serving batch
         outs = []
         for i0 in range(0, q.shape[0], query_block):
-            outs.append(self._search_device(q[i0 : i0 + query_block], k, nprobe))
+            outs.append(self._search_device(q[i0 : i0 + query_block], k,
+                                            nprobe, chunk=chunk))
         scores = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
         ids = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
         ids = np.where(ids < 0, 0, ids)  # pad guard (masked scores are ±inf)
