@@ -25,7 +25,9 @@ def test_pack_words_roundtrip_all_widths():
         u = 32 // beff
         n = 3 * u  # row-interleaved words need N % u == 0
         idx = rng.integers(0, 1 << bits, size=(n, ln))
-        w = np.asarray(pack_words(jnp.asarray(idx), bits))
+        # tile=None is the explicit row-interleaved diagnostic layout (the
+        # default is the kernel's tile-ordered layout)
+        w = np.asarray(pack_words(jnp.asarray(idx), bits, tile=None))
         assert w.shape == (n // u, ln)
         # manual unpack: word row r shift-slot j holds source row r*u + j
         chunks = [((w.astype(np.uint32) >> (beff * j)) & ((1 << bits) - 1))
@@ -74,7 +76,8 @@ def test_choose_beff_avoids_skinny_16row_blocks():
 def test_pack_words_explicit_beff_roundtrip():
     rng = np.random.default_rng(2)
     idx = rng.integers(0, 2, size=(32, 14))
-    w = np.asarray(pack_words(jnp.asarray(idx), 1, 2))  # 1-bit at beff=2
+    # 1-bit at beff=2, explicit row-interleaved layout
+    w = np.asarray(pack_words(jnp.asarray(idx), 1, 2, tile=None))
     assert w.shape == (2, 14)
     chunks = [((w.astype(np.uint32) >> (2 * j)) & 1) for j in range(16)]
     got = np.stack(chunks, axis=1).reshape(32, 14)

@@ -210,12 +210,17 @@ class PackedCorpus:
 @functools.partial(jax.jit, static_argnames=("bits", "beff", "tile"))
 def pack_words(
     idx: jax.Array, bits: int, beff: Optional[int] = None,
-    tile: Optional[int] = None,
+    tile: Optional[int] = 512,
 ) -> jax.Array:
     """(N, ln) indices in [0, 2^bits) → (N/u, ln) int32 words
     (u = 32 // beff rows per word; N must be a multiple of u).  `beff` must
     match the SegSpec's (choose_beff); defaults to the dense power-of-two
     width.
+
+    tile defaults to the kernel's _TILE (512): _unpack_words assumes
+    tile-ordered words, so a caller on the default always produces the
+    layout the kernel consumes.  Pass tile=None EXPLICITLY for the legacy
+    row-interleaved diagnostic layout, which the kernel must never see.
 
     tile=None → row-interleaved: word w shift-slot j holds row w·u + j.
     tile=T (the kernel layout; N % T == 0) → TILE-ORDERED: within each

@@ -330,8 +330,13 @@ def pallas_scan_available(d: int, num_q: int, k_size: int, num_sub: int,
     With group>1 the kernel loads a (num_sub*k_size, group*dsub)
     block-diagonal codebook (group× larger) and builds a (tile, group*k_size)
     one-hot intermediate — both scale with group, so the gate must too.
+
+    k_size > 256 (PQ num_bits > 8) is refused: the kernel stores codes as
+    uint8 and widens per tile (the 53M enabler, see _decode_tile), so wider
+    codes would silently truncate.  >8-bit PQ stays on the XLA path, whose
+    int32 one-hot handles any width.
     """
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or k_size > 256:
         return False
     if group > 1 and num_sub % group != 0:
         group = 1
@@ -351,8 +356,10 @@ def pallas_topk_fused_available(d: int, num_q: int, k_size: int, num_sub: int,
                                 group: int = 1) -> bool:
     """VMEM budget for pq_scan_topk_fused: the (Q, tile) score tile and the
     (Q, tile+_KPAD) candidate values replace the two-pass kernel's HBM out
-    block; measured headroom against the 16 MB scoped-vmem limit."""
-    if jax.default_backend() != "tpu":
+    block; measured headroom against the 16 MB scoped-vmem limit.
+    k_size > 256 refused — uint8 codes would truncate (see
+    pallas_scan_available)."""
+    if jax.default_backend() != "tpu" or k_size > 256:
         return False
     if group > 1 and num_sub % group != 0:
         group = 1

@@ -54,6 +54,18 @@ class BaseQuantizer:
         """
         raise NotImplementedError
 
+    def encode_fn(self):
+        """Optionally return a jax-traceable `x_tile (T, D) → codes` encoder.
+
+        Chunked index builds (index/ivf.py encode_rows_ordered) jit this
+        together with the residual subtraction so construction streams
+        through the device one chunk at a time — the scale path that lets
+        IVF fits run past HBM (reference chunked-build philosophy,
+        streaming_sweep.py:151-186, scalar_quantization.py:41-50).  Default
+        None falls back to `compress` on host chunks.
+        """
+        return None
+
     # -- provided ----------------------------------------------------------
     def scan_topk(
         self,

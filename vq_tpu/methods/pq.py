@@ -132,6 +132,10 @@ class PQ(BaseQuantizer):
         codebooks = self.params.codebooks
         return lambda ct: decode_pq(codebooks, ct)
 
+    def encode_fn(self):
+        params = self.params
+        return lambda x: encode(params, x)
+
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
                   use_bf16=True, approx=False, cache=None, num_valid=None):
         from vq_tpu.kernels.adc import scan_codes_topk

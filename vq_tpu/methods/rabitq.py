@@ -395,6 +395,10 @@ class RaBitQ(BaseQuantizer):
         params, bits = self.params, self.cfg.num_bits
         return lambda ct: decode(params, ct, bits)
 
+    def encode_fn(self):
+        params, bits = self.params, self.cfg.num_bits
+        return lambda x: encode(params, x, bits)
+
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
                   use_bf16=True, approx=False, cache=None, num_valid=None,
                   prune_tiles=None):

@@ -1012,6 +1012,10 @@ class SAQ(BaseQuantizer):
         plan, params = self.plan, self.params
         return lambda ct: decode(plan, params, ct)
 
+    def encode_fn(self):
+        plan, params, rounds = self.plan, self.params, self.cfg.caq_rounds
+        return lambda x: encode(plan, params, x, rounds)
+
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
                   use_bf16=True, approx=False, prune_segments=0,
                   rerank_factor=10, cache=None, num_valid=None,

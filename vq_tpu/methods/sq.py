@@ -93,6 +93,10 @@ class SQ(BaseQuantizer):
         params, num_bits, dim = self.params, self.cfg.num_bits, self._dim
         return lambda ct: decode(params, ct, num_bits, dim)
 
+    def encode_fn(self):
+        params, num_bits = self.params, self.cfg.num_bits
+        return lambda x: encode(params, x, num_bits)
+
     def code_bytes_per_vector(self) -> float:
         return self._dim * self.cfg.num_bits / 8.0
 
