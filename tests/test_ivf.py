@@ -194,6 +194,38 @@ def test_ivf_chunked_fit_matches_unchunked():
     np.testing.assert_allclose(sa, sb, rtol=1e-5)
 
 
+def test_ivf_residual_scorer_matches_decode_path():
+    """The rotated-query window scorer (methods/base.residual_scorer) must
+    produce the same neighbors/scores as the decode_fn window path for
+    every method that provides one (SAQ, RaBitQ, RankAware)."""
+    from vq_tpu.core.config import RankAwareConfig, SAQConfig
+    from vq_tpu.methods.rankaware import RankAware
+    from vq_tpu.methods.saq import SAQ
+
+    data = load_dummy_dataset(num_vectors=2000, dim=32, num_queries=15,
+                              seed=11)
+    quants = [
+        SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True)),
+        RaBitQ(RaBitQConfig(num_bits=4)),
+        RankAware(RankAwareConfig(bits_per_dim=2.0)),
+    ]
+    for quant in quants:
+        idx = IvfQuantizedIndex(quant, _ivf(nq=16, nprobe=8)).fit(
+            data.vectors
+        )
+        assert quant.residual_scorer() is not None
+        ids_s, sc_s = idx.search_with_scores(data.queries, k=8)
+        # force the decode_fn path on the SAME fitted index
+        orig = quant.residual_scorer
+        quant.residual_scorer = lambda: None
+        idx._search_fn = None
+        idx._c_side = None
+        ids_d, sc_d = idx.search_with_scores(data.queries, k=8)
+        quant.residual_scorer = orig
+        np.testing.assert_array_equal(ids_s, ids_d)
+        np.testing.assert_allclose(sc_s, sc_d, rtol=1e-4, atol=1e-4)
+
+
 def test_ivf_skewed_cluster_sizes():
     """One giant cluster + many tiny ones: the windowed scan must stay
     correct (regression for the fixed max_cluster window, whose memory blew

@@ -135,7 +135,32 @@ def test_saq_packed_cache_reuse_and_num_valid():
     assert np.asarray(i_pk).max() < 300
 
 
-@pytest.mark.parametrize("num_bits", [1, 4])
+@pytest.mark.parametrize("codebook", ["uniform", "lloyd"])
+def test_saq_packed_high_bpd_values_path(codebook):
+    """bpd=6 derived codebooks allocate ≥5-bit segments → the f32
+    value-plane layout (kernels/pallas_packed.py "values") must stay
+    id-exact vs the XLA fallback."""
+    rng = np.random.default_rng(21)
+    m, x, codes = _mk_saq(rng, n=640, d=48, bpd=6.0, codebook=codebook)
+    if codebook == "lloyd":
+        segs = saq_mod.packed_segspecs(m.plan, m.params)[0]
+        assert any(s.dequant == "values" for s in segs), segs
+    q = rng.standard_normal((12, 48)).astype(np.float32)
+    s_ref, i_ref = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 8, Metric.L2,
+        use_bf16=False, use_packed=False,
+    )
+    s_pk, i_pk = saq_mod.scan_topk(
+        m.plan, m.params, jnp.asarray(q), codes, 8, Metric.L2,
+        use_bf16=False, use_packed=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_pk), np.asarray(s_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("num_bits", [1, 4, 8])
 @pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.NIP])
 def test_rabitq_packed_matches_xla_scan(num_bits, metric):
     from vq_tpu.core.config import RaBitQConfig
@@ -223,28 +248,75 @@ def test_saq_packed_cascade_matches_dense_recall():
     assert overlap >= 0.8, overlap
 
 
-@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP])
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.NIP])
 def test_saq_variance_prune_matches_dense(metric):
     """The in-kernel variance-prune stage (varsEstDist analog) is exact:
-    identical ids/scores to the unpruned packed scan, f32 path."""
+    identical ids/scores to the unpruned packed scan, f32 path.  Covers
+    Metric.NIP via the norm-envelope bound (tile_stats cols 3-4)."""
     rng = np.random.default_rng(17)
     m, x, codes = _mk_saq(rng, n=1536, d=48)
     q = rng.standard_normal((8, 48)).astype(np.float32)
-    cache = saq_mod.prepare_packed(m.plan, m.params, codes)
-    assert cache.tile_stats is not None and cache.tile_stats.shape == (3, 3)
+    norms = jnp.linalg.norm(jnp.asarray(x), axis=-1)
+    cache = saq_mod.prepare_packed(
+        m.plan, m.params, codes,
+        norms=norms if metric == Metric.NIP else None,
+    )
+    assert cache.tile_stats is not None and cache.tile_stats.shape == (3, 5)
 
     s_ref, i_ref = saq_mod.scan_topk(
-        m.plan, m.params, jnp.asarray(q), codes, 10, metric,
+        m.plan, m.params, jnp.asarray(q), codes, 10, metric, norms=norms,
         use_bf16=False, use_packed=True, interpret=True, packed_cache=cache,
         prune_tiles=False,
     )
     s_pr, i_pr = saq_mod.scan_topk(
-        m.plan, m.params, jnp.asarray(q), codes, 10, metric,
+        m.plan, m.params, jnp.asarray(q), codes, 10, metric, norms=norms,
         use_bf16=False, use_packed=True, interpret=True, packed_cache=cache,
         prune_tiles=True,
     )
     np.testing.assert_array_equal(np.asarray(i_pr), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(s_pr), np.asarray(s_ref), rtol=1e-6)
+
+
+def test_saq_variance_prune_nip_skips_tiles():
+    """NIP prune fires when the divisor-norm envelope separates tiles.
+
+    The NIP divisor is a caller-provided side-channel (the study pipeline's
+    q·x̂/‖x‖ convention, reference exact_search.py:4-8), so tiles whose
+    stored norms are large get small score bounds U/nmin and are skipped
+    once better candidates fill the top-k.  (On corpora where ‖x̂‖ tracks
+    ‖x‖ the Cauchy-Schwarz numerator grows with the divisor and the bound
+    approaches ‖q‖ — NIP pruning is structurally weak there; this test
+    pins the mechanics on a norm-separated divisor.)"""
+    rng = np.random.default_rng(31)
+    d = 48
+    base = rng.standard_normal((512, d)).astype(np.float32)
+    far = rng.standard_normal((1024, d)).astype(np.float32)
+    x = np.concatenate([base, far]).astype(np.float32)
+    m = saq_mod.SAQ(SAQConfig(bits_per_dim=4.0, use_pca=False))
+    m.fit(x)
+    codes = jnp.asarray(m.compress(x))
+    # divisor side-channel: far tiles carry 1000× norms → tiny bounds
+    norms = jnp.concatenate([
+        jnp.ones((512,), jnp.float32),
+        jnp.full((1024,), 1000.0, jnp.float32),
+    ])
+    cache = saq_mod.prepare_packed(m.plan, m.params, codes, norms=norms)
+    q = jnp.asarray(base[:8] + 0.01 * rng.standard_normal((8, d)),
+                    jnp.float32)
+    outs, outi, scanned = saq_mod._packed_scan(
+        m.plan, m.params, q, cache, 10, Metric.NIP, interpret=True,
+        use_bf16=False, prune=True,
+    )
+    s_ref, i_ref = saq_mod.scan_topk(
+        m.plan, m.params, q, codes, 10, Metric.NIP, norms=norms,
+        use_bf16=False, use_packed=True, interpret=True, prune_tiles=False,
+    )
+    from vq_tpu.kernels.adc import _finalize
+
+    s_pr, i_pr = _finalize(outs, outi, Metric.NIP,
+                           jnp.sum(q * q, axis=-1))
+    np.testing.assert_array_equal(np.asarray(i_pr), np.asarray(i_ref))
+    assert int(scanned) < 3, int(scanned)
 
 
 def test_saq_variance_prune_skips_hopeless_tiles():

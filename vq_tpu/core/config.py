@@ -42,7 +42,10 @@ class KMeansConfig:
     seed: int = 0
     # Cap on training points per centroid, faiss-style subsampling.
     max_points_per_centroid: int = 256
-    init: str = "kmeanspp"  # "kmeanspp" | "random" (full-D² Gumbel-max seeding)
+    # "auto" = k-means++ (full-D² Gumbel-max seeding) for k ≤ 1024,
+    # random-row init beyond (the ++ scan reads the training set once per
+    # centroid — prohibitive at IVF-coarse K; random is faiss's default).
+    init: str = "auto"  # "auto" | "kmeanspp" | "random"
 
 
 @dataclass(frozen=True)

@@ -160,13 +160,21 @@ class ShardedIVFIndex(BaseSearchIndex):
     def _build_search_fn(self, k, nprobe, chunk):
         """Jitted shard_map search, cached per (k, nprobe, chunk) — the
         previous per-call `jax.jit(fn)` re-traced every invocation
-        (VERDICT r3 weak #1)."""
+        (VERDICT r3 weak #1).  Uses the quantizer's residual_scorer
+        (rotated-query window scoring) when available, like
+        IvfQuantizedIndex."""
         metric = self.search_cfg.metric
         decode_fn = self.quantizer.decode_fn()
+        scorer = self.quantizer.residual_scorer()
         centroids = self.centroids
         shard_of = self.shard_of
         local_off = self.local_off
         sizes = self.sizes
+        if scorer is not None:
+            q_map, window_fn = scorer
+            c_side = jax.jit(q_map)(centroids)
+        else:
+            q_map = window_fn = c_side = None
 
         def local(q, codes_b, ids_b, norms_b):
             p = jax.lax.axis_index(DATA_AXIS)
@@ -178,6 +186,9 @@ class ShardedIVFIndex(BaseSearchIndex):
                 q, probe, centroids, codes_b[0], ids_b[0], norms_b[0],
                 local_off, sizes, decode_fn, k, metric, chunk=chunk,
                 probe_mask=own,
+                scorer_window=window_fn,
+                q_side=q_map(q) if q_map is not None else None,
+                c_side=c_side,
             )
             # masked probes / pad slots carry −inf maximize scores (+∞ after
             # the L2 sign flip); the exact merge never surfaces them

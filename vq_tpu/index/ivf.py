@@ -155,6 +155,9 @@ def scan_probed_lists(
     metric: Metric,
     chunk: int = 512,
     probe_mask: Optional[jax.Array] = None,
+    scorer_window=None,
+    q_side: Optional[Tuple[jax.Array, jax.Array]] = None,
+    c_side: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """Scan the probed inverted lists in bounded windows → maximize-form
     (scores (Q, k), global ids (Q, k)).
@@ -171,6 +174,14 @@ def scan_probed_lists(
     (the sharded IVF masks lists owned by other devices).  codes/ids/norms
     must carry ≥ chunk rows of tail padding so window slices never run off
     the array (fit() pads).  Scores for masked/invalid rows are −inf.
+
+    scorer_window + q_side + c_side enable the ROTATED-QUERY window path
+    (methods/base.residual_scorer): windows dequantize to code space and
+    score against pre-rotated queries/centroids — exact same scores as the
+    decode_fn path (up to f32 op order) without the per-window rotation
+    matmuls that dominate decode for SAQ/RaBitQ/RankAware.  q_side =
+    scorer.q_map(queries); c_side = scorer.q_map(centroids) — the caller
+    precomputes c_side ONCE per index, not per call.
     """
     num_q, p_cnt = probes.shape
     qr = q[:, None, :] - centroids[probes]  # (Q, P, D) residual queries
@@ -183,31 +194,62 @@ def scan_probed_lists(
         szs = jnp.where(probe_mask, szs, 0)
     max_sz = jnp.max(szs)
 
+    use_scorer = scorer_window is not None
+    if use_scorer:
+        q_cat, q_add = q_side
+        c_cat, c_add = c_side
+        if metric == Metric.L2:
+            # v·r̂ for v = q − c_p decomposes linearly through q_map
+            qc_cat = q_cat[:, None, :] - c_cat[probes]  # (Q, P, Dc)
+            qc_add = q_add[:, None] - c_add[probes]  # (Q, P)
+        else:
+            qc_cat = jnp.broadcast_to(
+                q_cat[:, None, :], (num_q, p_cnt, q_cat.shape[1])
+            )
+            qc_add = jnp.broadcast_to(q_add[:, None], (num_q, p_cnt))
+    else:
+        dc = 1  # dummies so one vmap signature serves both paths
+        qc_cat = jnp.zeros((num_q, p_cnt, dc), jnp.float32)
+        qc_add = jnp.zeros((num_q, p_cnt), jnp.float32)
+
     def window(c, run_s, run_i):
         off = c * chunk
 
-        def per_probe(start, size, qr_1, qr_sq_1, q_cent_1):
+        def per_probe(start, size, qr_1, qr_sq_1, q_cent_1, qc_cat_1,
+                      qc_add_1):
             ct = jax.lax.dynamic_slice_in_dim(
                 codes_sorted, start + off, chunk, axis=0)
             rid = jax.lax.dynamic_slice_in_dim(
                 ids_sorted, start + off, chunk, axis=0)
             nrm = jax.lax.dynamic_slice_in_dim(
                 norms_sorted, start + off, chunk, axis=0)
-            r_hat = decode_fn(ct)  # (chunk, D)
-            ip_r = jnp.dot(r_hat, qr_1, precision=jax.lax.Precision.HIGHEST)
-            if metric == Metric.L2:
-                rsq = jnp.sum(r_hat * r_hat, axis=1)
-                s = -(qr_sq_1 - 2.0 * ip_r + rsq)
-            elif metric == Metric.IP:
-                s = ip_r + q_cent_1
+            if use_scorer:
+                ohat, r2 = scorer_window(ct)  # (chunk, Dc), (chunk,)
+                ip_r = jnp.dot(ohat, qc_cat_1,
+                               precision=jax.lax.Precision.HIGHEST) + qc_add_1
+                if metric == Metric.L2:
+                    s = -(qr_sq_1 - 2.0 * ip_r + r2)
+                elif metric == Metric.IP:
+                    s = ip_r + q_cent_1
+                else:
+                    s = (ip_r + q_cent_1) / jnp.maximum(nrm, 1e-30)
             else:
-                s = (ip_r + q_cent_1) / jnp.maximum(nrm, 1e-30)
+                r_hat = decode_fn(ct)  # (chunk, D)
+                ip_r = jnp.dot(r_hat, qr_1,
+                               precision=jax.lax.Precision.HIGHEST)
+                if metric == Metric.L2:
+                    rsq = jnp.sum(r_hat * r_hat, axis=1)
+                    s = -(qr_sq_1 - 2.0 * ip_r + rsq)
+                elif metric == Metric.IP:
+                    s = ip_r + q_cent_1
+                else:
+                    s = (ip_r + q_cent_1) / jnp.maximum(nrm, 1e-30)
             valid = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0] \
                 < (size - off)
             return jnp.where(valid, s, -jnp.inf), rid
 
         s_all, id_all = jax.vmap(jax.vmap(per_probe))(
-            starts, szs, qr, qr_sq, q_cent
+            starts, szs, qr, qr_sq, q_cent, qc_cat, qc_add
         )  # (Q, P, chunk)
         cat_s = jnp.concatenate([run_s, s_all.reshape(num_q, -1)], axis=1)
         cat_i = jnp.concatenate([run_i, id_all.reshape(num_q, -1)], axis=1)
@@ -254,6 +296,7 @@ class IvfQuantizedIndex(BaseSearchIndex):
         self.num_rows = 0
         self._search_fn = None  # cached jitted search (one trace per shape)
         self._search_fn_chunk = 0
+        self._c_side = None  # pre-rotated centroids (residual_scorer path)
 
     # ------------------------------------------------------------------ fit
     def fit(self, X, chunk_rows: int = 0) -> "IvfQuantizedIndex":
@@ -313,6 +356,7 @@ class IvfQuantizedIndex(BaseSearchIndex):
         self._assignment = assignment
         self.num_rows = n
         self._search_fn = None
+        self._c_side = None
         return self
 
     # --------------------------------------------------------- decompress
@@ -337,18 +381,34 @@ class IvfQuantizedIndex(BaseSearchIndex):
         (VERDICT r3 weak #1: ~128 retraces for a 1024-query batch).  Index
         arrays are jit ARGUMENTS (not closure constants) so the tunnel
         never re-serializes them into compile requests; jax.jit's own cache
-        then gives one trace per (block shape, k, nprobe)."""
+        then gives one trace per (block shape, k, nprobe).
+
+        When the quantizer provides a residual_scorer, windows score in
+        code space against pre-rotated queries (rotated ONCE per block)
+        and pre-rotated centroids (rotated ONCE per index, cached on
+        self._c_side) — decode_fn's per-window rotation matmuls disappear
+        (methods/base.residual_scorer)."""
         metric = self.search_cfg.metric
         decode_fn = self.quantizer.decode_fn()
+        scorer = self.quantizer.residual_scorer()
+        if scorer is not None:
+            q_map, window_fn = scorer
+            if self._c_side is None:
+                self._c_side = jax.jit(q_map)(self.centroids)
+        else:
+            q_map = window_fn = None
 
         @functools.partial(jax.jit, static_argnames=("kk", "np_"))
-        def run(q, centroids, codes, ids, norms, offsets, sizes, kk, np_):
+        def run(q, centroids, codes, ids, norms, offsets, sizes, c_side,
+                kk, np_):
             q = q.astype(jnp.float32)
             cd = pairwise_sqdist_xc(q, centroids)  # (Q, K)
             _, probe = jax.lax.top_k(-cd, np_)  # nearest centroids (Q, P)
+            q_side = q_map(q) if q_map is not None else None
             ts, ti = scan_probed_lists(
                 q, probe, centroids, codes, ids, norms, offsets, sizes,
                 decode_fn, kk, metric, chunk=chunk,
+                scorer_window=window_fn, q_side=q_side, c_side=c_side,
             )
             if metric == Metric.L2:
                 ts = -ts
@@ -365,7 +425,8 @@ class IvfQuantizedIndex(BaseSearchIndex):
             self._search_fn_chunk = chunk
         return self._search_fn(
             queries, self.centroids, self.codes_sorted, self.ids_sorted,
-            self.norms_sorted, self.offsets, self.sizes, kk=k, np_=nprobe,
+            self.norms_sorted, self.offsets, self.sizes, self._c_side,
+            kk=k, np_=nprobe,
         )
 
     def search_with_scores(
@@ -454,3 +515,4 @@ class IvfQuantizedIndex(BaseSearchIndex):
         self._assignment = state.get("assignment")
         self._search_fn = None
         self._search_fn_chunk = 0
+        self._c_side = None

@@ -69,14 +69,46 @@ def _lloyd_iter(x: jax.Array, centroids: jax.Array) -> jax.Array:
     Empty clusters keep their previous centroid (deterministic; the
     reference relies on faiss's split heuristic — recall parity holds
     without it on the embedding datasets).
+
+    Large n·k tiles over rows: the (n, k) one-hot/distance intermediates
+    would otherwise materialize (16 GB at n=1M, k=4096 — the IVF coarse
+    flagship geometry); partial (k, d) sums and (k,) counts accumulate
+    across row tiles instead.
     """
     k = centroids.shape[0]
-    d2 = pairwise_sqdist_xc(x, centroids)
-    assignments = jnp.argmin(d2, axis=-1)
-    onehot = jax.nn.one_hot(assignments, k, dtype=jnp.float32)  # (n, k)
-    counts = jnp.sum(onehot, axis=0)  # (k,)
-    sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # (k, d)
+    n, d = x.shape
+
+    def tile_stats(xt, valid):
+        d2 = pairwise_sqdist_xc(xt, centroids)
+        assignments = jnp.argmin(d2, axis=-1)
+        onehot = jax.nn.one_hot(assignments, k, dtype=jnp.float32)
+        onehot = onehot * valid[:, None]
+        counts = jnp.sum(onehot, axis=0)  # (k,)
+        sums = jnp.dot(onehot.T, xt, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (k, d)
+        return sums, counts
+
+    if n * k <= (1 << 27):
+        sums, counts = tile_stats(x, jnp.ones((n,), jnp.float32))
+    else:
+        row_tile = max(8192, (1 << 27) // k)
+        nt = -(-n // row_tile)
+
+        def body(t, carry):
+            acc_s, acc_c = carry
+            start = jnp.minimum(t * row_tile, max(n - row_tile, 0))
+            xt = jax.lax.dynamic_slice_in_dim(x, start, row_tile, 0)
+            gid = start + jnp.arange(row_tile)
+            # the last tile's clamped start re-reads rows of the previous
+            # tile; count only rows this tile owns
+            valid = ((gid >= t * row_tile) & (gid < n)).astype(jnp.float32)
+            s, c = tile_stats(xt, valid)
+            return acc_s + s, acc_c + c
+
+        sums, counts = jax.lax.fori_loop(
+            0, nt, body,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+        )
     new_c = sums / jnp.maximum(counts, 1.0)[:, None]
     return jnp.where((counts > 0)[:, None], new_c, centroids)
 
@@ -84,7 +116,15 @@ def _lloyd_iter(x: jax.Array, centroids: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("k", "cfg"))
 def _kmeans_impl(key: jax.Array, x: jax.Array, k: int, cfg: KMeansConfig) -> jax.Array:
     x = x.astype(jnp.float32)
-    if cfg.init == "kmeanspp":
+    # "auto": k-means++ seeding reads the whole training set once per
+    # centroid (a k-step sequential scan — prohibitive at IVF-coarse K,
+    # e.g. 4096 × 6 GB of HBM traffic at 1M rows); beyond 1024 centroids
+    # fall back to random-row init, which is also faiss's default
+    # (the reference's coarse quantizer, saq_index.py:14-23).
+    init = cfg.init
+    if init == "auto":
+        init = "kmeanspp" if k <= 1024 else "random"
+    if init == "kmeanspp":
         c0 = _kmeanspp_init(key, x, k)
     else:
         c0 = _random_init(key, x, k)

