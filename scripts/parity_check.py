@@ -99,6 +99,61 @@ def _rankaware(bpd, codebook="lloyd", packing="dense"):
                                      packing=packing))
 
 
+# Gate-corpus grid (VERDICT r3 task 9): the planted-neighborhood corpus at
+# the reference study's geometry (N=100k, D=1536, unit rows) — recall sits
+# near the reference's dbpedia regime (~0.8 at 1 bpd) instead of the demo
+# table's ~0.11, so deltas are meaningful.  "ref dbpedia" columns are the
+# reference study's GEOMETRY-MATCHED dbpedia-100k results
+# (results_full_20260612_235308.csv) — context anchors, not same-data
+# parity (the real dataset is egress-blocked; BENCH_NOTES.md).
+GATE_GRID = [
+    ("pq M=192 B=8 (1 bpd)", lambda: _pq(192), 0.8034),
+    ("saq 1-bit ('saq_paper')", lambda: _saq(1.0), 0.8608),
+    ("saq 1-bit lloyd ('ours')", lambda: _saq(1.0, "lloyd"), None),
+    ("rabitq 1-bit", lambda: _rabitq(1), None),
+    ("saq 4-bit", lambda: _saq(4.0), 0.9813),
+    ("saq 4-bit lloyd ('ours')", lambda: _saq(4.0, "lloyd"), 0.9693),
+    ("ext-rabitq 4-bit", lambda: _rabitq(4), 0.9690),
+    ("rankaware 2-bit lloyd", lambda: _rankaware(2.0, "lloyd"), None),
+    ("opq M=192 B=8", lambda: _opq192(), None),
+    ("sq 8-bit", lambda: _sq(8), None),
+    ("lvq 8-bit", lambda: _lvq(8), None),
+]
+
+
+def _opq192():
+    from vq_tpu.methods.opq import OPQ
+
+    return OPQ(OPQConfig(num_subquantizers=192, num_bits=8, opq_iters=4,
+                         kmeans=KMeansConfig(iters=10)))
+
+
+def _lvq(b):
+    from vq_tpu.core.config import LVQConfig
+    from vq_tpu.methods.lvq import LVQ
+
+    return LVQ(LVQConfig(num_bits=b))
+
+
+def gate_table() -> list:
+    from vq_tpu.data.datasets import load_planted_dataset
+
+    data = load_planted_dataset(num_vectors=100_000, dim=1536,
+                                num_queries=1024, seed=0)
+    rows = []
+    for label, make, ref10 in GATE_GRID:
+        idx = FlatQuantizedIndex(make(), SearchConfig()).fit(data.vectors)
+        ids = idx.search(data.queries, k=100)
+        r10 = recall_at_k(data.ground_truth, ids, 10)
+        r100 = recall_at_k(data.ground_truth, ids, 100)
+        rows.append((label, r10, ref10, r100))
+        anchor = f" (dbpedia anchor {ref10:.3f})" if ref10 else ""
+        print(f"[gate] {label:<28} R@10 {r10:.3f}{anchor}  R@100 {r100:.3f}",
+              flush=True)
+        del idx
+    return rows
+
+
 def main() -> int:
     np.random.seed(42)  # the reference's exact demo data
     vectors = np.random.randn(10000, 1024).astype(np.float32)
@@ -152,6 +207,7 @@ def main() -> int:
                 f"| {label} | {r10:.3f} | {ref10:.3f} | {r10-ref10:+.3f} "
                 f"| {r100:.3f} | {ref100:.4f} | {r100-ref100:+.3f} |"
             )
+    gate_rows = gate_table()
     out += [
         "",
         "Notes:",
@@ -162,7 +218,24 @@ def main() -> int:
         "  (divide by ⟨o,ō⟩ rather than project — methods/rabitq.py).",
         "- Run on TPU v5e via scripts/parity_check.py (regenerates the demo",
         "  dataset bit-for-bit; no network needed).",
+        "",
+        "## Gate-corpus method matrix (recall ≈ 0.8 regime)",
+        "",
+        "Planted-neighborhood corpus (data/datasets.load_planted_dataset),",
+        "N=100k, D=1536, unit rows, 1024 queries — the quality regime of the",
+        "reference's dbpedia study (its demo table sits at R@10 ≈ 0.11 on",
+        "random gaussians, where ±0.006 parity tolerates large relative",
+        "error — VERDICT r3 weak #8).  'dbpedia anchor' = the reference",
+        "study's geometry-matched dbpedia-100k value",
+        "(results_full_20260612_235308.csv) — a context anchor, not",
+        "same-data parity (real dataset egress-blocked).",
+        "",
+        "| config | R@10 | dbpedia anchor | R@100 |",
+        "|---|---|---|---|",
     ]
+    for label, r10, ref10, r100 in gate_rows:
+        anchor = f"{ref10:.3f}" if ref10 else "—"
+        out.append(f"| {label} | {r10:.3f} | {anchor} | {r100:.3f} |")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "PARITY_RESULTS.md")
     with open(path, "w") as f:

@@ -104,3 +104,26 @@ def test_scan_stats_staged_counters():
     assert r["total_comp_cnt"] == 512 * 8
     dense = st.report(0.01)
     assert r["qps"] == dense["qps"]
+
+
+def test_planted_dataset_has_neighbor_structure():
+    """load_planted_dataset: unit rows, registry dispatch, and planted
+    near-duplicate neighborhoods (queries' true neighbors are same-document
+    variants — the property that makes reference-level recall reachable)."""
+    import numpy as np
+
+    from vq_tpu.data.datasets import get_dataset, load_planted_dataset
+
+    d = load_planted_dataset(num_vectors=2000, dim=64, num_queries=20,
+                             rank=8, cluster_size=10, spread=0.3, seed=1)
+    assert d.vectors.shape == (2000, 64)
+    assert np.allclose(np.linalg.norm(d.vectors, axis=1), 1.0, atol=1e-5)
+    # each query's top-10 true neighbors should be dominated by one document
+    kc = 200  # 2000 / cluster_size
+    docs = d.ground_truth[:, :10] % kc
+    frac_same = np.mean([
+        np.max(np.bincount(row, minlength=kc)) / 10 for row in docs
+    ])
+    assert frac_same > 0.5, frac_same
+    d2 = get_dataset("planted-1000x32", num_queries=10)
+    assert d2.vectors.shape == (1000, 32)

@@ -94,6 +94,52 @@ def load_dummy_dataset(
     return Dataset(name=f"dummy-{num_vectors}x{dim}", vectors=x, queries=q, metric=metric)
 
 
+def load_planted_dataset(
+    num_vectors: int = 100_000,
+    dim: int = 1536,
+    num_queries: int = 1024,
+    rank: int = 32,
+    cluster_size: int = 10,
+    spread: float = 0.5,
+    seed: int = 0,
+    metric: Metric = Metric.L2,
+) -> Dataset:
+    """Low-intrinsic-dimension corpus with planted near-duplicate
+    neighborhoods: a rank-`rank` manifold in `dim` dimensions,
+    N/cluster_size "documents" × cluster_size variants, unit-normalized
+    rows; queries are fresh variants of random documents.
+
+    This is the structure real embedding sets have, and the regime where
+    the reference's dbpedia-level recall targets (~0.8 at 1 bit/dim) are
+    actually reachable — iid gaussians at D≳1000 have no usable neighbor
+    structure (bench.py recall_gate_pq192 docstring; real datasets are
+    egress-blocked in this environment, BENCH_NOTES.md).  Generated on
+    device; bit-stable for a given (shape, seed)."""
+    import jax.random as jrandom
+
+    kc = max(1, num_vectors // cluster_size)
+    ks = jrandom.split(jrandom.PRNGKey(seed + 11), 6)
+
+    a = jrandom.normal(ks[0], (rank, dim), jnp.float32)
+    a = a * ((1.0 + jnp.arange(dim)) ** -0.5)
+    cents = jrandom.normal(ks[1], (kc, rank), jnp.float32)
+    asn = jnp.arange(num_vectors) % kc
+    z = cents[asn] + spread * jrandom.normal(
+        ks[3], (num_vectors, rank), jnp.float32)
+    qdoc = jrandom.randint(ks[4], (num_queries,), 0, kc)
+    zq = cents[qdoc] + spread * jrandom.normal(
+        ks[5], (num_queries, rank), jnp.float32)
+    x, q = z @ a, zq @ a
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    return Dataset(
+        name=f"planted-{num_vectors}x{dim}",
+        vectors=np.asarray(x),
+        queries=np.asarray(q),
+        metric=metric,
+    )
+
+
 def load_npy_dataset(
     base_path: str,
     query_path: Optional[str] = None,
@@ -153,6 +199,9 @@ def get_dataset(name: str, data_dir: Optional[str] = None, **kw) -> Dataset:
     if name.startswith("dummy-"):  # e.g. dummy-20000x256
         n, d = name.split("-", 1)[1].split("x")
         return load_dummy_dataset(num_vectors=int(n), dim=int(d), **kw)
+    if name.startswith("planted-"):  # e.g. planted-100000x1536
+        n, d = name.split("-", 1)[1].split("x")
+        return load_planted_dataset(num_vectors=int(n), dim=int(d), **kw)
     # dbpedia-100k / dbpedia-1m / dbpedia-3072 / msmarco-* resolve to files
     candidates = [
         (os.path.join(data_dir, f"{name}_base.npy"), os.path.join(data_dir, f"{name}_query.npy")),

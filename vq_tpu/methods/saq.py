@@ -542,6 +542,63 @@ def _row_norm_key(plan: SAQPlan, codes: jax.Array,
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _convert_rows(plan: SAQPlan, params: SAQParams, rows: jax.Array):
+    """One chunk of byte rows → (per-segment words/value-planes, factors,
+    per-row ‖r̂‖², CAQ error margin).  Module-level jit (plan static,
+    params an argument) so repeated prepare_packed calls — e.g. the 53M
+    per-chunk streaming build — share ONE trace instead of re-jitting a
+    fresh closure per call."""
+    from vq_tpu.kernels.caq import _CONST_EPSILON
+    from vq_tpu.kernels.pallas_packed import pack_words
+
+    segspecs = packed_segspecs(plan, params)[0]
+    # mean in code space, per segment (the L2 cross-term side of r2_s)
+    mean_p = jnp.dot(params.pca_mean, params.pca_rot,
+                     precision=jax.lax.Precision.HIGHEST)
+    mean_segs = [
+        jnp.dot(mean_p[plan.seg_starts[s] : plan.seg_starts[s]
+                       + plan.seg_lens[s]], params.seg_rots[s],
+                precision=jax.lax.Precision.HIGHEST)
+        for s in range(plan.num_segments)
+    ]
+    parts = _split_row(plan, rows)
+    words = []
+    fac_cols = []
+    r2_cols = []
+    rhat_sq = jnp.zeros((rows.shape[0],), jnp.float32)
+    me = jnp.zeros((rows.shape[0],), jnp.float32)
+    for s, (packed, rescale, nrm) in enumerate(parts):
+        ln = plan.seg_lens[s]
+        idx = unpack_bits(packed, plan.seg_bits[s], ln)
+        if segspecs[s].dequant == "values":
+            # f32 value plane (unscaled — the kernel applies the rescale
+            # column), the full-speed B ≥ 5 derived-codebook layout;
+            # natural row order, no bitplane interleave
+            words.append(
+                caq_decode_levels(
+                    idx, jnp.ones_like(rescale), params.seg_levels[s]
+                ).astype(jnp.float32)
+            )
+        else:
+            words.append(pack_words(idx, plan.seg_bits[s],
+                                    segspecs[s].beff, tile=512))
+        fac_cols.append(rescale[:, None])
+        val = _seg_dequant(plan, params, s, idx, rescale)
+        rsq_s = jnp.sum(val * val, axis=1)
+        md_s = jnp.dot(val, mean_segs[s],
+                       precision=jax.lax.Precision.HIGHEST)
+        r2_cols.append((2.0 * md_s + rsq_s)[:, None])
+        rhat_sq = rhat_sq + rsq_s
+        osq_s = jnp.maximum(nrm * nrm, 1e-30)
+        cos_term = jnp.maximum(rsq_s / osq_s - 1.0, 0.0)
+        me = me + nrm * _CONST_EPSILON * jnp.sqrt(
+            cos_term / max(ln - 1, 1)
+        )
+    fac = jnp.concatenate(fac_cols + r2_cols, axis=1)
+    return tuple(words), fac, rhat_sq, me
+
+
 def prepare_packed(
     plan: SAQPlan,
     params: SAQParams,
@@ -578,8 +635,7 @@ def prepare_packed(
     and the caller masks them by passing num_valid == v at scan time —
     prefix masking stays valid on the sorted layout because the valid
     rows occupy exactly positions [0, v)."""
-    from vq_tpu.kernels.caq import _CONST_EPSILON
-    from vq_tpu.kernels.pallas_packed import PackedCorpus, pack_words
+    from vq_tpu.kernels.pallas_packed import PackedCorpus
 
     n = codes.shape[0]
     nv = n if num_valid_rows is None else int(num_valid_rows)
@@ -614,58 +670,9 @@ def prepare_packed(
             rows = jnp.pad(rows, ((0, i1 - max(i0, n)), (0, 0)))
         return rows
 
-    segspecs = packed_segspecs(plan, params)[0]
-    # mean in code space, per segment (the L2 cross-term side of r2_s)
-    mean_p = jnp.dot(params.pca_mean, params.pca_rot,
-                     precision=jax.lax.Precision.HIGHEST)
-    mean_segs = [
-        jnp.dot(mean_p[plan.seg_starts[s] : plan.seg_starts[s]
-                       + plan.seg_lens[s]], params.seg_rots[s],
-                precision=jax.lax.Precision.HIGHEST)
-        for s in range(plan.num_segments)
-    ]
-
-    @jax.jit
-    def convert(rows):
-        parts = _split_row(plan, rows)
-        words = []
-        fac_cols = []
-        r2_cols = []
-        rhat_sq = jnp.zeros((rows.shape[0],), jnp.float32)
-        me = jnp.zeros((rows.shape[0],), jnp.float32)
-        for s, (packed, rescale, nrm) in enumerate(parts):
-            ln = plan.seg_lens[s]
-            idx = unpack_bits(packed, plan.seg_bits[s], ln)
-            if segspecs[s].dequant == "values":
-                # f32 value plane (unscaled — the kernel applies the
-                # rescale column), the full-speed B ≥ 5 derived-codebook
-                # layout; natural row order, no bitplane interleave
-                words.append(
-                    caq_decode_levels(
-                        idx, jnp.ones_like(rescale), params.seg_levels[s]
-                    ).astype(jnp.float32)
-                )
-            else:
-                words.append(pack_words(idx, plan.seg_bits[s],
-                                        segspecs[s].beff, tile=512))
-            fac_cols.append(rescale[:, None])
-            val = _seg_dequant(plan, params, s, idx, rescale)
-            rsq_s = jnp.sum(val * val, axis=1)
-            md_s = jnp.dot(val, mean_segs[s],
-                           precision=jax.lax.Precision.HIGHEST)
-            r2_cols.append((2.0 * md_s + rsq_s)[:, None])
-            rhat_sq = rhat_sq + rsq_s
-            osq_s = jnp.maximum(nrm * nrm, 1e-30)
-            cos_term = jnp.maximum(rsq_s / osq_s - 1.0, 0.0)
-            me = me + nrm * _CONST_EPSILON * jnp.sqrt(
-                cos_term / max(ln - 1, 1)
-            )
-        fac = jnp.concatenate(fac_cols + r2_cols, axis=1)
-        return tuple(words), fac, rhat_sq, me
-
     w_chunks, f_chunks, r_chunks, m_chunks = [], [], [], []
     for i0 in range(0, n_pad, row_chunk):  # row_chunk % 512 == 0
-        w, f, r, m = convert(chunk_rows(i0))
+        w, f, r, m = _convert_rows(plan, params, chunk_rows(i0))
         w_chunks.append(w)
         f_chunks.append(f)
         r_chunks.append(r)
