@@ -493,8 +493,24 @@ def ivf_flagship(jax, jnp, out, fast):
 
     kcl = 1024 if fast else 4096
     # coarse k-means: random-row init (auto), 64 samples/centroid — the
-    # k-means++ scan is prohibitive at K=4096 (kernels/kmeans.py note)
+    # k-means++ scan is prohibitive at K=4096 (kernels/kmeans.py note).
+    # The coarse pass (k-means + assignment) is shared by every config —
+    # they differ only in the residual quantizer (the reference's SaqIndex
+    # also splits k-means from construct, saq_index.py:80-96).
     kmc = KMeansConfig(iters=10, max_points_per_centroid=64)
+    from vq_tpu.data.sampling import chunk_rows_for_bytes, host_sample_rows
+    from vq_tpu.index.ivf import chunked_assign
+    from vq_tpu.kernels.kmeans import kmeans
+
+    t0 = time.perf_counter()
+    cap = min(n, max(200_000, kmc.max_points_per_centroid * kcl))
+    xs = host_sample_rows(xg, cap, kmc.seed)
+    cents = kmeans(jax.random.PRNGKey(kmc.seed),
+                   jnp.asarray(xs, jnp.float32), kcl, kmc)
+    del xs
+    asn = chunked_assign(xg, cents, chunk_rows_for_bytes(d))
+    out["ivf_coarse_s"] = round(time.perf_counter() - t0, 1)
+
     configs = [
         ("saq_bpd1", lambda: SAQ(SAQConfig(bits_per_dim=1.0, use_pca=True))),
         ("saq_bpd2", lambda: SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True))),
@@ -509,7 +525,7 @@ def ivf_flagship(jax, jnp, out, fast):
             make(), IVFConfig(num_clusters=kcl, nprobe=200, kmeans=kmc)
         )
         t0 = time.perf_counter()
-        idx.fit(xg)
+        idx.fit(xg, coarse=(cents, asn))
         out[f"ivf_{name}_build_s"] = round(time.perf_counter() - t0, 1)
         for nprobe in (50, 200):
             idx.ivf_cfg = dataclasses.replace(idx.ivf_cfg, nprobe=nprobe)

@@ -247,3 +247,20 @@ def test_ivf_skewed_cluster_sizes():
     d_all = ((q[:, None, :] - rec[None, :, :]) ** 2).sum(-1)
     ref_scores = np.sort(d_all, axis=1)[:, :5]
     np.testing.assert_allclose(scores_i, ref_scores, rtol=1e-3, atol=1e-3)
+
+
+def test_ivf_coarse_reuse_matches_self_fit():
+    """fit(coarse=(centroids, assignment)) must equal the self-computed
+    coarse pass (bench shares one k-means across residual configs)."""
+    from vq_tpu.index.ivf import chunked_assign
+
+    data = load_dummy_dataset(num_vectors=1200, dim=24, num_queries=10, seed=5)
+    a = IvfQuantizedIndex(SQ(SQConfig(num_bits=8)), _ivf()).fit(data.vectors)
+    asn = chunked_assign(data.vectors, a.centroids, 400)
+    b = IvfQuantizedIndex(SQ(SQConfig(num_bits=8)), _ivf()).fit(
+        data.vectors, coarse=(np.asarray(a.centroids), asn)
+    )
+    ia, sa = a.search_with_scores(data.queries, k=6)
+    ib, sb = b.search_with_scores(data.queries, k=6)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)

@@ -299,26 +299,37 @@ class IvfQuantizedIndex(BaseSearchIndex):
         self._c_side = None  # pre-rotated centroids (residual_scorer path)
 
     # ------------------------------------------------------------------ fit
-    def fit(self, X, chunk_rows: int = 0) -> "IvfQuantizedIndex":
+    def fit(self, X, chunk_rows: int = 0, coarse=None) -> "IvfQuantizedIndex":
         """Chunked IVF construction: coarse k-means on a host-side sample,
         streamed assignment, residual-sample quantizer fit, streamed
         cluster-ordered residual encode — peak device memory is one chunk,
         never the corpus, so builds scale past HBM (reference envelope:
         1M in 12 GB CPU RAM, README.md:222-228; 53M streamed,
-        streaming_sweep.py:151-186)."""
+        streaming_sweep.py:151-186).
+
+        coarse=(centroids (K, D), assignment (N,) int) reuses a coarse
+        quantizer computed elsewhere — indexes differing only in the
+        residual quantizer share one k-means + assignment pass (the
+        reference's SaqIndex does its k-means python-side and hands
+        centroids+assignments to construct, saq_index.py:80-96)."""
         n, d = X.shape
-        k = min(self.ivf_cfg.num_clusters, max(1, n // 2))
-        key = jax.random.PRNGKey(self.ivf_cfg.kmeans.seed)
-        cap = min(n, max(
-            200_000, self.ivf_cfg.kmeans.max_points_per_centroid * k
-        ))
-        xs = host_sample_rows(X, cap, self.ivf_cfg.kmeans.seed)
-        self.centroids = kmeans(
-            key, jnp.asarray(xs, jnp.float32), k, self.ivf_cfg.kmeans
-        )
-        del xs
         chunk = chunk_rows or chunk_rows_for_bytes(d)
-        assignment = chunked_assign(X, self.centroids, chunk)
+        if coarse is not None:
+            self.centroids = jnp.asarray(coarse[0], jnp.float32)
+            assignment = np.asarray(coarse[1], np.int32)
+            k = self.centroids.shape[0]
+        else:
+            k = min(self.ivf_cfg.num_clusters, max(1, n // 2))
+            key = jax.random.PRNGKey(self.ivf_cfg.kmeans.seed)
+            cap = min(n, max(
+                200_000, self.ivf_cfg.kmeans.max_points_per_centroid * k
+            ))
+            xs = host_sample_rows(X, cap, self.ivf_cfg.kmeans.seed)
+            self.centroids = kmeans(
+                key, jnp.asarray(xs, jnp.float32), k, self.ivf_cfg.kmeans
+            )
+            del xs
+            assignment = chunked_assign(X, self.centroids, chunk)
         if self.quantizer.params is None:
             fit_quantizer_on_residuals(
                 X, assignment, self.centroids, self.quantizer,
@@ -399,44 +410,72 @@ class IvfQuantizedIndex(BaseSearchIndex):
             q_map = window_fn = None
 
         @functools.partial(jax.jit, static_argnames=("kk", "np_"))
-        def run(q, centroids, codes, ids, norms, offsets, sizes, c_side,
+        def run(qs, centroids, codes, ids, norms, offsets, sizes, c_side,
                 kk, np_):
-            q = q.astype(jnp.float32)
-            cd = pairwise_sqdist_xc(q, centroids)  # (Q, K)
-            _, probe = jax.lax.top_k(-cd, np_)  # nearest centroids (Q, P)
-            q_side = q_map(q) if q_map is not None else None
-            ts, ti = scan_probed_lists(
-                q, probe, centroids, codes, ids, norms, offsets, sizes,
-                decode_fn, kk, metric, chunk=chunk,
-                scorer_window=window_fn, q_side=q_side, c_side=c_side,
-            )
-            if metric == Metric.L2:
-                ts = -ts
-            return ts, ti
+            # qs is (num_blocks, block, D): lax.map scans the query blocks
+            # ON DEVICE, so a whole serving batch is ONE dispatch over the
+            # tunnel (the previous host loop paid a ~28 ms round trip per
+            # block — ~128 of them at flagship geometry) while peak memory
+            # stays one block's decoded window.
+            def one_block(q):
+                q = q.astype(jnp.float32)
+                cd = pairwise_sqdist_xc(q, centroids)  # (Q, K)
+                _, probe = jax.lax.top_k(-cd, np_)  # nearest centroids (Q, P)
+                q_side = q_map(q) if q_map is not None else None
+                ts, ti = scan_probed_lists(
+                    q, probe, centroids, codes, ids, norms, offsets, sizes,
+                    decode_fn, kk, metric, chunk=chunk,
+                    scorer_window=window_fn, q_side=q_side, c_side=c_side,
+                )
+                if metric == Metric.L2:
+                    ts = -ts
+                return ts, ti
+
+            return jax.lax.map(one_block, qs)
 
         return run
 
+    def _auto_chunk(self) -> int:
+        """Window rows per while_loop step: the next power of two ≥ the MEAN
+        list size, clamped to [128, 512].  A fixed 512 paid ~4× masked
+        decode on 128-row average lists (N/K at flagship geometry); skewed
+        lists above the chunk cost extra iterations, never a bigger
+        buffer."""
+        k = int(self.sizes.shape[0])
+        mean = max(1, self.num_rows // max(1, k))
+        return int(np.clip(1 << int(np.ceil(np.log2(mean))), 128, 512))
+
     def _search_device(
         self, queries: jax.Array, k: int, nprobe: int, chunk: int = 512
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Single-block search (qs stacked to one block); serving batches go
+        through search_with_scores, which maps blocks in one dispatch."""
+        ts, ti = self._run_blocks(queries[None], k, nprobe, chunk)
+        return ts[0], ti[0]
+
+    def _run_blocks(
+        self, qs: jax.Array, k: int, nprobe: int, chunk: int
     ) -> Tuple[jax.Array, jax.Array]:
         assert chunk <= _PAD_SLACK, (chunk, _PAD_SLACK)
         if self._search_fn is None or self._search_fn_chunk != chunk:
             self._search_fn = self._build_search_fn(chunk)
             self._search_fn_chunk = chunk
         return self._search_fn(
-            queries, self.centroids, self.codes_sorted, self.ids_sorted,
+            qs, self.centroids, self.codes_sorted, self.ids_sorted,
             self.norms_sorted, self.offsets, self.sizes, self._c_side,
             kk=k, np_=nprobe,
         )
 
     def search_with_scores(
         self, queries: np.ndarray, k: int = 10,
-        query_block: Optional[int] = None, chunk: int = 512,
+        query_block: Optional[int] = None, chunk: Optional[int] = None,
         decode_budget_bytes: int = 2 << 30,
     ) -> Tuple[np.ndarray, np.ndarray]:
         nprobe = min(self.ivf_cfg.nprobe, self.centroids.shape[0])
         q = jnp.asarray(queries, jnp.float32)
         nq = q.shape[0]
+        if chunk is None:
+            chunk = self._auto_chunk()
         if query_block is None:
             # the scan window decodes (block, nprobe, chunk) rows of D f32
             # — auto-size the query block so that buffer stays under the
@@ -453,12 +492,10 @@ class IvfQuantizedIndex(BaseSearchIndex):
         pad = (-nq) % query_block
         if pad:
             q = jnp.pad(q, ((0, pad), (0, 0)))
-        outs = []
-        for i0 in range(0, q.shape[0], query_block):
-            outs.append(self._search_device(q[i0 : i0 + query_block], k,
-                                            nprobe, chunk=chunk))
-        scores = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)[:nq]
-        ids = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)[:nq]
+        qs = q.reshape(-1, query_block, q.shape[1])
+        ts, ti = self._run_blocks(qs, k, nprobe, chunk)
+        scores = np.asarray(ts).reshape(-1, k)[:nq]
+        ids = np.asarray(ti).reshape(-1, k)[:nq]
         ids = np.where(ids < 0, 0, ids)  # pad guard (masked scores are ±inf)
         return ids.astype(np.uint32), scores
 
