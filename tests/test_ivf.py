@@ -264,3 +264,40 @@ def test_ivf_coarse_reuse_matches_self_fit():
     ib, sb = b.search_with_scores(data.queries, k=6)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_union_matches_windows_strategy():
+    """The query-shared union scan (scan_union_lists) must return the same
+    neighbors/scores as the per-(query, probe) window scan for scorer-less
+    (SQ), scorer (RaBitQ) and PQ quantizers, across metrics — candidate
+    sets are identical by construction, this asserts the scoring algebra
+    (cd-table reuse, in-window centroid dots)."""
+    from vq_tpu.core.config import SearchConfig
+
+    data = load_dummy_dataset(num_vectors=2500, dim=32, num_queries=17,
+                              seed=13)
+    quants = [
+        lambda: SQ(SQConfig(num_bits=8)),
+        lambda: RaBitQ(RaBitQConfig(num_bits=4)),
+        lambda: PQ(PQConfig(num_subquantizers=8, num_bits=6,
+                            kmeans=KMeansConfig(iters=6))),
+    ]
+    for metric in (Metric.L2, Metric.IP, Metric.NIP):
+        for make in quants:
+            idx = IvfQuantizedIndex(
+                make(), _ivf(nq=16, nprobe=7),
+                search_cfg=SearchConfig(metric=metric),
+            ).fit(data.vectors)
+            iu, su = idx.search_with_scores(data.queries, k=8,
+                                            strategy="union")
+            iw, sw = idx.search_with_scores(data.queries, k=8,
+                                            strategy="windows")
+            np.testing.assert_allclose(su, sw, rtol=2e-4, atol=2e-4)
+            # ids may legitimately swap at score ties; require the score
+            # multisets to match and ids to match wherever scores are
+            # distinct
+            gap = np.abs(np.diff(sw, axis=1))
+            distinct = np.ones_like(iw, bool)
+            distinct[:, 1:] &= gap > 1e-4
+            distinct[:, :-1] &= gap > 1e-4
+            np.testing.assert_array_equal(iu[distinct], iw[distinct])

@@ -44,6 +44,7 @@ from vq_tpu.index.ivf import (
     encode_rows_ordered,
     fit_quantizer_on_residuals,
     scan_probed_lists,
+    scan_union_lists,
 )
 from vq_tpu.kernels.kmeans import assign, kmeans, pairwise_sqdist_xc
 from vq_tpu.methods.base import BaseQuantizer
@@ -157,12 +158,14 @@ class ShardedIVFIndex(BaseSearchIndex):
         self._search_cache = {}
         return self
 
-    def _build_search_fn(self, k, nprobe, chunk):
-        """Jitted shard_map search, cached per (k, nprobe, chunk) — the
-        previous per-call `jax.jit(fn)` re-traced every invocation
+    def _build_search_fn(self, k, nprobe, chunk, strategy):
+        """Jitted shard_map search, cached per (k, nprobe, chunk, strategy)
+        — the previous per-call `jax.jit(fn)` re-traced every invocation
         (VERDICT r3 weak #1).  Uses the quantizer's residual_scorer
-        (rotated-query window scoring) when available, like
-        IvfQuantizedIndex."""
+        (rotated-query window scoring) when available, and the query-shared
+        union scan by default (scan_union_lists: each owned probed row
+        decodes once per batch; the ownership mask folds into the
+        per-(query, cluster) membership mask), like IvfQuantizedIndex."""
         metric = self.search_cfg.metric
         decode_fn = self.quantizer.decode_fn()
         scorer = self.quantizer.residual_scorer()
@@ -182,14 +185,24 @@ class ShardedIVFIndex(BaseSearchIndex):
             cd = pairwise_sqdist_xc(q, centroids)  # (Q, K) — replicated math
             _, probe = jax.lax.top_k(-cd, nprobe)
             own = shard_of[probe] == p  # (Q, P) lists this device holds
-            s, gid = scan_probed_lists(
-                q, probe, centroids, codes_b[0], ids_b[0], norms_b[0],
-                local_off, sizes, decode_fn, k, metric, chunk=chunk,
+            scan_kw = dict(
                 probe_mask=own,
                 scorer_window=window_fn,
                 q_side=q_map(q) if q_map is not None else None,
                 c_side=c_side,
             )
+            if strategy == "union":
+                s, gid = scan_union_lists(
+                    q, probe, cd, centroids, codes_b[0], ids_b[0],
+                    norms_b[0], local_off, sizes, decode_fn, k, metric,
+                    chunk=chunk, **scan_kw,
+                )
+            else:
+                s, gid = scan_probed_lists(
+                    q, probe, centroids, codes_b[0], ids_b[0], norms_b[0],
+                    local_off, sizes, decode_fn, k, metric, chunk=chunk,
+                    **scan_kw,
+                )
             # masked probes / pad slots carry −inf maximize scores (+∞ after
             # the L2 sign flip); the exact merge never surfaces them
             from vq_tpu.dist.sharded import _merge_local_topk
@@ -210,21 +223,28 @@ class ShardedIVFIndex(BaseSearchIndex):
         )
         return jax.jit(fn)
 
-    def _search_device(self, queries, k, nprobe, chunk=512):
-        assert chunk <= _PAD_SLACK, (chunk, _PAD_SLACK)
-        key = (k, nprobe, chunk)
+    def _search_device(self, queries, k, nprobe, chunk=None,
+                       strategy="union"):
+        if chunk is None:
+            chunk = 4096 if strategy == "union" else 512
+        if strategy != "union":
+            assert chunk <= _PAD_SLACK, (chunk, _PAD_SLACK)
+        key = (k, nprobe, chunk, strategy)
         if key not in self._search_cache:
-            self._search_cache[key] = self._build_search_fn(k, nprobe, chunk)
+            self._search_cache[key] = self._build_search_fn(
+                k, nprobe, chunk, strategy
+            )
         return self._search_cache[key](
             replicate(self.mesh, jnp.asarray(queries, jnp.float32)),
             self.codes_sh, self.ids_sh, self.norms_sh,
         )
 
     def search_with_scores(
-        self, queries: np.ndarray, k: int = 10
+        self, queries: np.ndarray, k: int = 10, strategy: str = "union"
     ) -> Tuple[np.ndarray, np.ndarray]:
         nprobe = min(self.ivf_cfg.nprobe, self.centroids.shape[0])
-        scores, ids = self._search_device(queries, k, nprobe)
+        scores, ids = self._search_device(queries, k, nprobe,
+                                          strategy=strategy)
         ids = np.asarray(ids)
         scores = np.asarray(scores)
         ids = np.where(ids < 0, 0, ids)

@@ -212,11 +212,13 @@ def scan_probed_lists(
         qc_cat = jnp.zeros((num_q, p_cnt, dc), jnp.float32)
         qc_add = jnp.zeros((num_q, p_cnt), jnp.float32)
 
+    cp = centroids[probes]  # (Q, P, D)
+
     def window(c, run_s, run_i):
         off = c * chunk
 
         def per_probe(start, size, qr_1, qr_sq_1, q_cent_1, qc_cat_1,
-                      qc_add_1):
+                      qc_add_1, c_1):
             ct = jax.lax.dynamic_slice_in_dim(
                 codes_sorted, start + off, chunk, axis=0)
             rid = jax.lax.dynamic_slice_in_dim(
@@ -235,21 +237,28 @@ def scan_probed_lists(
                     s = (ip_r + q_cent_1) / jnp.maximum(nrm, 1e-30)
             else:
                 r_hat = decode_fn(ct)  # (chunk, D)
-                ip_r = jnp.dot(r_hat, qr_1,
-                               precision=jax.lax.Precision.HIGHEST)
                 if metric == Metric.L2:
+                    ip_r = jnp.dot(r_hat, qr_1,
+                                   precision=jax.lax.Precision.HIGHEST)
                     rsq = jnp.sum(r_hat * r_hat, axis=1)
                     s = -(qr_sq_1 - 2.0 * ip_r + rsq)
-                elif metric == Metric.IP:
-                    s = ip_r + q_cent_1
                 else:
-                    s = (ip_r + q_cent_1) / jnp.maximum(nrm, 1e-30)
+                    # q·x̂ = q·c + q·r̂ — dot r̂ against the FULL query
+                    # (qr_1 + c_1), not the residual query: r̂·(q−c) + q·c
+                    # drops the c·r̂ term (measured 2.5 absolute on scores
+                    # ~24, tests/test_ivf.py union-equality)
+                    ip_full = jnp.dot(r_hat, qr_1 + c_1,
+                                      precision=jax.lax.Precision.HIGHEST)
+                    if metric == Metric.IP:
+                        s = ip_full + q_cent_1
+                    else:
+                        s = (ip_full + q_cent_1) / jnp.maximum(nrm, 1e-30)
             valid = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0] \
                 < (size - off)
             return jnp.where(valid, s, -jnp.inf), rid
 
         s_all, id_all = jax.vmap(jax.vmap(per_probe))(
-            starts, szs, qr, qr_sq, q_cent, qc_cat, qc_add
+            starts, szs, qr, qr_sq, q_cent, qc_cat, qc_add, cp
         )  # (Q, P, chunk)
         cat_s = jnp.concatenate([run_s, s_all.reshape(num_q, -1)], axis=1)
         cat_i = jnp.concatenate([run_i, id_all.reshape(num_q, -1)], axis=1)
@@ -269,6 +278,154 @@ def scan_probed_lists(
         c, run_s, run_i = carry
         run_s, run_i = window(c[0], run_s, run_i)
         return (c + 1, run_s, run_i)
+
+    _, run_s, run_i = jax.lax.while_loop(cond, body, init)
+    return run_s, run_i
+
+
+def scan_union_lists(
+    q: jax.Array,
+    probes: jax.Array,
+    cd: jax.Array,
+    centroids: jax.Array,
+    codes_sorted: jax.Array,
+    ids_sorted: jax.Array,
+    norms_sorted: jax.Array,
+    offsets: jax.Array,
+    sizes: jax.Array,
+    decode_fn,
+    k: int,
+    metric: Metric,
+    chunk: int = 8192,
+    probe_mask: Optional[jax.Array] = None,
+    scorer_window=None,
+    q_side: Optional[Tuple[jax.Array, jax.Array]] = None,
+    c_side: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """QUERY-SHARED union scan of the probed lists → maximize-form
+    (scores (Q, k), global ids (Q, k)).
+
+    scan_probed_lists decodes each probed window once PER (query, probe)
+    pair — at serving batch sizes the same list is probed by many queries
+    and the batch pays num_queries× the decode volume (measured: the dense
+    flat scan overtakes per-query probing at Q ≥ 64, scripts/
+    ivf_scan_ablate.py).  Here the batch walks the CONCATENATED probed
+    lists (the union over all queries) in `chunk`-row windows:
+
+      1. each window's rows decode ONCE (the whole batch pays ≤ one
+         corpus decode, like the flat scan),
+      2. all queries score the window with ONE MXU matmul (Q, Dc)·(Dc,
+         chunk) — the flat scan's query-amortization, restricted to
+         probed rows,
+      3. a per-(query, cluster) membership mask −inf's rows of lists that
+         query did not probe — candidate sets, hence recall, are
+         IDENTICAL to the per-query path (equality-tested),
+      4. per-row centroid terms (c·r̂) compute in-window from the scorer's
+         c_side (or the gathered centroid rows), so no extra build-time
+         columns are needed.
+
+    Peak window memory is (chunk, Dc) decoded + (Q, chunk) scores —
+    independent of nprobe, so the whole serving batch runs as one block
+    (no query blocking, no decode-budget clamp).  Work ∝ rows in the
+    probed UNION (≤ corpus), so a batched IVF scan is never asymptotically
+    worse than the dense scan and keeps probing's advantage whenever the
+    union is small (small batches, large K, small nprobe).
+
+    cd is the (Q, K) squared-distance table from coarse routing (reused
+    for the L2 ‖q−c‖² term; for IP/NIP the q·c table derives from it and
+    the norms).  Reference contrast: the engine scans per (query, cluster)
+    with AVX heaps (external/saq/include/index/ivf_index.h:249-266) — the
+    union walk is the TPU-native reformulation.
+    """
+    num_q = q.shape[0]
+    kc = sizes.shape[0]
+    allowed = jnp.zeros((num_q, kc), bool)
+    qi = jnp.broadcast_to(jnp.arange(num_q)[:, None], probes.shape)
+    if probe_mask is None:
+        allowed = allowed.at[qi, probes].set(True)
+    else:
+        allowed = allowed.at[qi, probes].max(probe_mask)
+    union = jnp.any(allowed, axis=0)  # (K,)
+    sz_u = jnp.where(union, sizes, 0)
+    pref = jnp.cumsum(sz_u)  # (K,) inclusive prefix of probed rows
+    total = pref[-1]
+
+    use_scorer = scorer_window is not None
+    if use_scorer:
+        q_cat, q_add = q_side
+        c_cat, c_add = c_side
+    if metric == Metric.L2:
+        # the routing table's ‖q‖²−2q·c+‖c‖² expansion cancels
+        # catastrophically when norms dwarf the distances (f32 error
+        # ~eps·‖q‖², 5% on the skewed-corpus test); recompute the PROBED
+        # entries from the direct difference — a fused (Q, P) reduction,
+        # the same accuracy the per-probe window path gets from qr
+        qrs = jnp.sum((q[:, None, :] - centroids[probes]) ** 2, axis=-1)
+        cd = cd.at[qi, probes].set(qrs)
+    else:
+        # q·c from the sqdist table: q·c = (‖q‖² + ‖c‖² − cd) / 2
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)
+        csq = jnp.sum(centroids * centroids, axis=1)[None, :]
+        qc = 0.5 * (qsq + csq - cd)  # (Q, K)
+
+    def window(w, run_s, run_i):
+        pos = w * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+        kk = jnp.searchsorted(pref, pos, side="right")  # (chunk,) cluster
+        kk = jnp.minimum(kk, kc - 1)
+        prev = jnp.where(kk > 0, pref[jnp.maximum(kk - 1, 0)], 0)
+        row = offsets[kk] + (pos - prev)
+        ct = jnp.take(codes_sorted, row, axis=0)  # (chunk, rb)
+        rid = jnp.take(ids_sorted, row)
+        if use_scorer:
+            ohat, r2 = scorer_window(ct)  # (chunk, Dc), (chunk,)
+            ip_q = (
+                jnp.dot(q_cat, ohat.T, precision=jax.lax.Precision.HIGHEST)
+                + q_add[:, None]
+            )  # (Q, chunk) q·r̂
+            c_dot = (
+                jnp.sum(jnp.take(c_cat, kk, axis=0) * ohat, axis=1)
+                + jnp.take(c_add, kk)
+            )  # (chunk,) c·r̂
+        else:
+            r_hat = decode_fn(ct)  # (chunk, D)
+            r2 = jnp.sum(r_hat * r_hat, axis=1)
+            ip_q = jnp.dot(q, r_hat.T, precision=jax.lax.Precision.HIGHEST)
+            c_dot = jnp.sum(jnp.take(centroids, kk, axis=0) * r_hat, axis=1)
+        if metric == Metric.L2:
+            # ‖q−c−r̂‖² = ‖q−c‖² − 2q·r̂ + 2c·r̂ + ‖r̂‖²
+            s = -(
+                jnp.take_along_axis(cd, kk[None, :], axis=1)
+                - 2.0 * ip_q
+                + (2.0 * c_dot + r2)[None, :]
+            )
+        else:
+            ip_full = ip_q + jnp.take_along_axis(qc, kk[None, :], axis=1)
+            if metric == Metric.IP:
+                s = ip_full
+            else:
+                nrm = jnp.take(norms_sorted, row)
+                s = ip_full / jnp.maximum(nrm, 1e-30)[None, :]
+        valid = (pos < total)[None, :] & jnp.take(allowed, kk, axis=1)
+        s = jnp.where(valid, s, -jnp.inf)
+        cat_s = jnp.concatenate([run_s, s], axis=1)
+        cat_i = jnp.concatenate([run_i, jnp.broadcast_to(rid[None, :], s.shape)],
+                                axis=1)
+        ms, mi = jax.lax.top_k(cat_s, k)
+        return ms, jnp.take_along_axis(cat_i, mi, axis=-1)
+
+    init = (
+        jnp.zeros((1,), jnp.int32),
+        jnp.full((num_q, k), -jnp.inf, jnp.float32),
+        jnp.zeros((num_q, k), jnp.int32),
+    )
+
+    def cond(carry):
+        return carry[0][0] * chunk < total
+
+    def body(carry):
+        w, run_s, run_i = carry
+        run_s, run_i = window(w[0], run_s, run_i)
+        return (w + 1, run_s, run_i)
 
     _, run_s, run_i = jax.lax.while_loop(cond, body, init)
     return run_s, run_i
@@ -386,7 +543,7 @@ class IvfQuantizedIndex(BaseSearchIndex):
         return res + cents
 
     # --------------------------------------------------------------- search
-    def _build_search_fn(self, chunk: int):
+    def _build_search_fn(self, chunk: int, strategy: str = "union"):
         """Jitted search, created ONCE per (index, chunk) and cached — the
         previous per-call `@jax.jit` closure re-traced on every query block
         (VERDICT r3 weak #1: ~128 retraces for a 1024-query batch).  Index
@@ -422,11 +579,18 @@ class IvfQuantizedIndex(BaseSearchIndex):
                 cd = pairwise_sqdist_xc(q, centroids)  # (Q, K)
                 _, probe = jax.lax.top_k(-cd, np_)  # nearest centroids (Q, P)
                 q_side = q_map(q) if q_map is not None else None
-                ts, ti = scan_probed_lists(
-                    q, probe, centroids, codes, ids, norms, offsets, sizes,
-                    decode_fn, kk, metric, chunk=chunk,
-                    scorer_window=window_fn, q_side=q_side, c_side=c_side,
-                )
+                if strategy == "union":
+                    ts, ti = scan_union_lists(
+                        q, probe, cd, centroids, codes, ids, norms, offsets,
+                        sizes, decode_fn, kk, metric, chunk=chunk,
+                        scorer_window=window_fn, q_side=q_side, c_side=c_side,
+                    )
+                else:
+                    ts, ti = scan_probed_lists(
+                        q, probe, centroids, codes, ids, norms, offsets,
+                        sizes, decode_fn, kk, metric, chunk=chunk,
+                        scorer_window=window_fn, q_side=q_side, c_side=c_side,
+                    )
                 if metric == Metric.L2:
                     ts = -ts
                 return ts, ti
@@ -435,31 +599,38 @@ class IvfQuantizedIndex(BaseSearchIndex):
 
         return run
 
-    def _auto_chunk(self) -> int:
-        """Window rows per while_loop step: the next power of two ≥ the MEAN
-        list size, clamped to [128, 512].  A fixed 512 paid ~4× masked
-        decode on 128-row average lists (N/K at flagship geometry); skewed
-        lists above the chunk cost extra iterations, never a bigger
-        buffer."""
+    def _auto_chunk(self, strategy: str) -> int:
+        """Window rows per while_loop step.
+
+        windows: the next power of two ≥ the MEAN list size, clamped to
+        [128, 512] — a fixed 512 paid ~4× masked decode on 128-row average
+        lists; skewed lists above the chunk cost extra iterations, never a
+        bigger buffer.  union: a fixed 4096 — windows there are batch-
+        global, so the only trade is decode-buffer size (4096·D f32 ≈
+        25 MB at D=1536) vs while-loop trip count."""
+        if strategy == "union":
+            return 4096
         k = int(self.sizes.shape[0])
         mean = max(1, self.num_rows // max(1, k))
         return int(np.clip(1 << int(np.ceil(np.log2(mean))), 128, 512))
 
     def _search_device(
-        self, queries: jax.Array, k: int, nprobe: int, chunk: int = 512
+        self, queries: jax.Array, k: int, nprobe: int, chunk: int = 512,
+        strategy: str = "windows",
     ) -> Tuple[jax.Array, jax.Array]:
         """Single-block search (qs stacked to one block); serving batches go
         through search_with_scores, which maps blocks in one dispatch."""
-        ts, ti = self._run_blocks(queries[None], k, nprobe, chunk)
+        ts, ti = self._run_blocks(queries[None], k, nprobe, chunk, strategy)
         return ts[0], ti[0]
 
     def _run_blocks(
-        self, qs: jax.Array, k: int, nprobe: int, chunk: int
+        self, qs: jax.Array, k: int, nprobe: int, chunk: int, strategy: str
     ) -> Tuple[jax.Array, jax.Array]:
-        assert chunk <= _PAD_SLACK, (chunk, _PAD_SLACK)
-        if self._search_fn is None or self._search_fn_chunk != chunk:
-            self._search_fn = self._build_search_fn(chunk)
-            self._search_fn_chunk = chunk
+        if strategy != "union":
+            assert chunk <= _PAD_SLACK, (chunk, _PAD_SLACK)
+        if self._search_fn is None or self._search_fn_chunk != (chunk, strategy):
+            self._search_fn = self._build_search_fn(chunk, strategy)
+            self._search_fn_chunk = (chunk, strategy)
         return self._search_fn(
             qs, self.centroids, self.codes_sorted, self.ids_sorted,
             self.norms_sorted, self.offsets, self.sizes, self._c_side,
@@ -469,23 +640,37 @@ class IvfQuantizedIndex(BaseSearchIndex):
     def search_with_scores(
         self, queries: np.ndarray, k: int = 10,
         query_block: Optional[int] = None, chunk: Optional[int] = None,
-        decode_budget_bytes: int = 2 << 30,
+        decode_budget_bytes: int = 2 << 30, strategy: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """strategy: "union" (default under "auto") decodes each probed row
+        once per batch and amortizes all queries on the MXU
+        (scan_union_lists); "windows" is the per-(query, probe) window scan
+        (scan_probed_lists), kept for small-memory geometries and A/B
+        (scripts/ivf_scan_ablate.py)."""
+        if strategy == "auto":
+            strategy = "union"
         nprobe = min(self.ivf_cfg.nprobe, self.centroids.shape[0])
         q = jnp.asarray(queries, jnp.float32)
         nq = q.shape[0]
         if chunk is None:
-            chunk = self._auto_chunk()
+            chunk = self._auto_chunk(strategy)
         if query_block is None:
-            # the scan window decodes (block, nprobe, chunk) rows of D f32
-            # — auto-size the query block so that buffer stays under the
-            # budget at any (D, nprobe): e.g. D=1536, nprobe=64 → block 8
-            # (a fixed 256 block measured 24 GB HBM → OOM).  Lower clamp is
-            # 1: at extreme D·nprobe·chunk an 8-row floor would overrun the
-            # budget up to 8× (ADVICE r3).
-            d = self.centroids.shape[1]
-            rows = max(1, decode_budget_bytes // (4 * d * nprobe * chunk))
-            query_block = int(np.clip(1 << int(np.log2(rows)), 1, 256))
+            if strategy == "union":
+                # union memory is (chunk, D) decoded + (Q, chunk) + (Q, K)
+                # — independent of nprobe; run the whole batch as ONE
+                # block, padded to a pow2 ≥ 16 to bound trace count
+                query_block = max(16, 1 << int(np.ceil(np.log2(max(1, nq)))))
+            else:
+                # the scan window decodes (block, nprobe, chunk) rows of D
+                # f32 — auto-size the query block so that buffer stays
+                # under the budget at any (D, nprobe): e.g. D=1536,
+                # nprobe=64 → block 8 (a fixed 256 block measured 24 GB
+                # HBM → OOM).  Lower clamp is 1: at extreme D·nprobe·chunk
+                # an 8-row floor would overrun the budget up to 8×
+                # (ADVICE r3).
+                d = self.centroids.shape[1]
+                rows = max(1, decode_budget_bytes // (4 * d * nprobe * chunk))
+                query_block = int(np.clip(1 << int(np.log2(rows)), 1, 256))
         # fixed-size query blocks bound the decoded-window buffer at
         # (block, nprobe, chunk) rows regardless of the serving batch; pad
         # the batch to a block multiple so exactly ONE block shape traces
@@ -493,7 +678,7 @@ class IvfQuantizedIndex(BaseSearchIndex):
         if pad:
             q = jnp.pad(q, ((0, pad), (0, 0)))
         qs = q.reshape(-1, query_block, q.shape[1])
-        ts, ti = self._run_blocks(qs, k, nprobe, chunk)
+        ts, ti = self._run_blocks(qs, k, nprobe, chunk, strategy)
         scores = np.asarray(ts).reshape(-1, k)[:nq]
         ids = np.asarray(ti).reshape(-1, k)[:nq]
         ids = np.where(ids < 0, 0, ids)  # pad guard (masked scores are ±inf)
