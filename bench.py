@@ -445,11 +445,17 @@ def ivf_flagship(jax, jnp, out, fast):
     dbpedia-100k at D=1536, K=4096, nprobe=200: recall@1/10/100 =
     85.0/87.3/86.6 (bpd=1) … 97.0/94.8/90.9 (bpd=4)
     (external/saq/README.md:50-56; searcher ivf_index.h:249-266).  Here the
-    same geometry runs on the recall-gate corpus scaled to N=1M (planted
-    neighborhoods — the real dataset is egress-blocked, BENCH_NOTES):
-    IVF+SAQ at bpd ∈ {1, 2, 4} and IVF+PQ at the matching bpd=1 (M=192),
-    nprobe ∈ {50, 200}, recall@1/10/100 vs exact GT + serving QPS/chip +
-    build time.  Fast mode shrinks to N=131k / K=1024 / two configs."""
+    same geometry runs on a planted-neighborhood corpus scaled to N=1M
+    (the real dataset is egress-blocked, BENCH_NOTES) at FULL intrinsic
+    rank with a power-law spectrum — the gate corpus's rank-32 variant is
+    quantization-INSENSITIVE (SAQ concentrates the whole bit budget on 32
+    informative dims; bpd 1 vs 4 measured identical recall), while at
+    rank=D / csize=100 / spread=1.0 the flat-scan recall ladder lands on
+    the reference's (bpd 1/2/4 → r@1 0.80/0.92/0.98 vs the reference's
+    0.85/0.93/0.97; tuning table in BENCH_NOTES).  IVF+SAQ at bpd ∈
+    {1, 2, 4} and IVF+PQ at the matching bpd=1 (M=192), nprobe ∈
+    {50, 200}, recall@1/10/100 vs exact GT + serving QPS/chip + build
+    time.  Fast mode shrinks to N=131k / K=1024 / two configs."""
     import dataclasses
 
     from vq_tpu.core.config import (
@@ -467,7 +473,7 @@ def ivf_flagship(jax, jnp, out, fast):
 
     n = 131_072 if fast else 1_048_576
     d, nq = 1536, 256
-    rank, csize, spread = 32, 10, 0.5
+    rank, csize, spread = 1536, 100, 1.0
     kc = n // csize
     ks = jax.random.split(jax.random.PRNGKey(11), 6)
 

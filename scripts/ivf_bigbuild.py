@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""10M-row IVF construction on one chip (VERDICT r3 task 3 evidence).
+
+The round-3 IVF fit transferred the full corpus to HBM (`jnp.asarray(X)`)
+and OOMed a 16 GB chip near ~4M rows at D=1024; the chunked build
+(index/ivf.fit: host-sample coarse k-means, streamed assignment, streamed
+cluster-ordered residual encode) keeps peak device memory at one chunk.
+This script proves it at 10M×1024 — 41 GB of f32 input, 2.6× HBM —
+streaming from a virtual corpus that generates rows on demand (the
+tests/test_bigfit.py VirtualRows pattern, so no 41 GB host buffer either).
+
+Reference envelope for contrast: 1M rows build in 12 GB CPU RAM
+(README.md:222-228); 53M streams in chunks (streaming_sweep.py:151-186).
+
+Prints one JSON line per stage.  VQ_FAST=1 shrinks to 1M rows.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.cli import _enable_compilation_cache
+from vq_tpu.core.config import IVFConfig, KMeansConfig, Metric, SAQConfig
+from vq_tpu.index.ivf import IvfQuantizedIndex
+from vq_tpu.methods.saq import SAQ
+from vq_tpu.metrics.recall import recall_at_k
+
+
+class ClusteredVirtualRows:
+    """N×D corpus generated on demand: hash noise around KC planted
+    centroids (gives the coarse k-means real structure without ever
+    materializing the corpus host- or device-side)."""
+
+    def __init__(self, n, d, kc=4096, seed=3):
+        self.shape = (n, d)
+        self.dtype = np.float32
+        rng = np.random.default_rng(seed)
+        self.cents = rng.standard_normal((kc, d)).astype(np.float32)
+        self.kc = kc
+
+    def __len__(self):
+        return self.shape[0]
+
+    def _make(self, idx):
+        idx = np.asarray(idx).reshape(-1)
+        d = self.shape[1]
+        base = (idx[:, None] * 2654435761 + np.arange(d)[None, :] * 97) % 1013
+        noise = base.astype(np.float32) / 1013.0 - 0.5
+        return self.cents[idx % self.kc] * 0.3 + noise
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self.shape[0])
+            return self._make(np.arange(start, stop, step))
+        if isinstance(key, (np.ndarray, list)):
+            return self._make(np.asarray(key))
+        raise TypeError(f"unsupported index {key!r}")
+
+    def __array__(self, *a, **k):
+        raise MemoryError("full materialization of the virtual corpus")
+
+
+def main():
+    _enable_compilation_cache()
+    fast = os.environ.get("VQ_FAST", "") == "1"
+    n = 1_048_576 if fast else 10_000_000
+    d, kcl = 1024, 4096
+    x = ClusteredVirtualRows(n, d, kc=kcl)
+
+    quant = SAQ(SAQConfig(bits_per_dim=1.0, use_pca=True))
+    idx = IvfQuantizedIndex(
+        quant,
+        IVFConfig(num_clusters=kcl, nprobe=50,
+                  kmeans=KMeansConfig(iters=10, max_points_per_centroid=64)),
+    )
+    t0 = time.perf_counter()
+    idx.fit(x)
+    build_s = time.perf_counter() - t0
+    code_bytes = int(np.asarray(idx.codes_sorted).nbytes)
+    print(json.dumps({
+        "n": n, "d": d, "K": kcl,
+        "build_s": round(build_s, 1),
+        "rows_per_s": round(n / build_s, 1),
+        "codes_gb": round(code_bytes / 2**30, 2),
+        "index_gb": round(idx.memory_footprint() / 2**30, 2),
+    }), flush=True)
+
+    # serving sanity: jittered copies of known rows must come back top-1
+    nq = 256
+    probe_ids = np.arange(0, n, n // nq)[:nq]
+    q = x[probe_ids] + 0.01
+    t0 = time.perf_counter()
+    ids, _ = idx.search_with_scores(q, k=10)
+    warm_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ids, _ = idx.search_with_scores(q, k=10)
+        times.append(time.perf_counter() - t0)
+    top1 = float(np.mean(ids[:, 0] == probe_ids))
+    print(json.dumps({
+        "search_qps": round(nq / min(times), 1),
+        "warm_s": round(warm_s, 1),
+        "self_top1": round(top1, 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,12 @@ from vq_tpu.methods import saq as saq_mod
 from vq_tpu.metrics.recall import recall_at_k
 
 
-def gen_gate(n, d, nq, rank=32, csize=10, spread=0.5, seed=11):
+def gen_gate(n, d, nq, rank=None, csize=100, spread=1.0, seed=11):
+    """Planted-neighborhood corpus at FULL intrinsic rank by default — the
+    rank-32 gate variant is quantization-insensitive (see bench.py
+    ivf_flagship docstring / BENCH_NOTES corpus-tuning table)."""
+    if rank is None:
+        rank = d
     kc = n // csize
     ks = jax.random.split(jax.random.PRNGKey(seed), 6)
 
@@ -109,19 +114,23 @@ def main():
         for nprobe in (50, 200):
             idx.ivf_cfg = dataclasses.replace(idx.ivf_cfg, nprobe=nprobe)
 
-            def run_scorer():
-                return idx.search_with_scores(q, k=10)
+            def run_union():
+                return idx.search_with_scores(q, k=10, strategy="union")
 
-            ids, _ = run_scorer()
+            def run_windows():
+                return idx.search_with_scores(q, k=10, strategy="windows")
+
+            ids, _ = run_union()
             r10 = recall_at_k(gtq, ids, 10)
-            t_scorer = timed(run_scorer)
+            t_union = timed(run_union)
+            t_windows = timed(run_windows)
 
             # force decode_fn windows on the same index
             orig = quant.residual_scorer
             quant.residual_scorer = lambda: None
             idx._search_fn = None
             idx._c_side = None
-            t_decode = timed(lambda: idx.search_with_scores(q, k=10))
+            t_decode = timed(run_windows)
             quant.residual_scorer = orig
             idx._search_fn = None
             idx._c_side = None
@@ -129,9 +138,10 @@ def main():
             print(json.dumps({
                 "nq": nq, "nprobe": nprobe,
                 "ivf_recall10": round(r10, 4),
-                "ivf_scorer_ms": round(t_scorer * 1e3, 1),
+                "ivf_union_ms": round(t_union * 1e3, 1),
+                "ivf_windows_ms": round(t_windows * 1e3, 1),
                 "ivf_decode_ms": round(t_decode * 1e3, 1),
-                "ivf_scorer_qps": round(nq / t_scorer, 1),
+                "ivf_union_qps": round(nq / t_union, 1),
             }), flush=True)
 
         # dense packed flat scan (full corpus, exact over the quantization)

@@ -10,27 +10,30 @@ RaBitQ → IVF+RaBitQ, SAQ → the engine's index).
 TPU-first layout (SURVEY.md §7.3 "ragged IVF lists"): rows are sorted by
 cluster into CSR form (codes_sorted, ids_sorted, offsets); search
   1. scores all K centroids with one MXU matmul and takes top-nprobe,
-  2. streams each probed list in fixed `chunk`-row windows inside a
-     lax.while_loop whose trip count is the LARGEST PROBED size this
-     batch (scan_probed_lists) — peak memory is Q_block·nprobe·chunk
-     decoded rows, not nprobe·max_cluster, and work adapts to the probed
-     sizes instead of the global maximum,
-  3. rescores candidates against the query's per-cluster RESIDUAL with the
-     quantizer's jax decode, entirely on device,
-  4. folds every window into a running top-k per query.
-Queries run in fixed-size blocks so the decoded-window buffer stays
-bounded at serving batch sizes.  decompress() reconstructs any row by
-GLOBAL id (residual decode + centroid add), the reference engine's
-IVF::decompress (external/saq/src/ivf_index.cpp:245-374).
+  2. walks the probed lists in fixed `chunk`-row windows inside a
+     lax.while_loop — by default the QUERY-SHARED UNION walk
+     (scan_union_lists: the batch's probed lists concatenate, every
+     window decodes once and all queries score it with one MXU matmul,
+     per-(query, cluster) membership masks keep candidate sets exact);
+     scan_probed_lists keeps the per-(query, probe) window walk for A/B,
+  3. rescores candidates against per-cluster RESIDUALS with the
+     quantizer's jax decode (or its rotated-query residual_scorer),
+     entirely on device,
+  4. folds every window into a running top-k per query, the whole batch
+     in ONE dispatch (lax.map over query blocks).
+decompress() reconstructs any row by GLOBAL id (residual decode +
+centroid add), the reference engine's IVF::decompress
+(external/saq/src/ivf_index.cpp:245-374).
 
-Scan-strategy note (BENCH_NOTES crossover table): the flat packed-kernel
-cascades don't transfer here by design — IVF probing IS the candidate-
-restriction stage (it reads ~nprobe/K of the corpus before any scoring),
-the probed windows are far below the 512-row tile the variance bound
-amortizes over, and cluster residuals are norm-concentrated by
-construction (the coarse assignment removes the norm heterogeneity the
-flat-scan bound feeds on).  Dense decode_fn windows on the MXU are the
-measured-right default for list scanning, as for the flat scan.
+Scan-strategy note: the flat packed-kernel cascades don't transfer here
+by design — IVF probing IS the candidate-restriction stage (it reads
+~nprobe/K of the corpus before any scoring), the probed windows are far
+below the 512-row tile the variance bound amortizes over, and cluster
+residuals are norm-concentrated by construction.  The union walk is the
+measured-right default at every batch size (scripts/ivf_scan_ablate.py):
+it pays ≤ one corpus decode per batch like the dense scan while scanning
+only probed rows, where the per-query walk paid num_queries× the decode
+volume and lost to the dense scan at Q ≥ 64.
 """
 
 from __future__ import annotations
