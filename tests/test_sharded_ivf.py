@@ -114,3 +114,17 @@ def test_overlapped_merge_matches_single_gather():
         )
         np.testing.assert_array_equal(np.asarray(i4), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(s4), np.asarray(s1), rtol=1e-5)
+
+
+def test_sharded_ivf_union_matches_windows():
+    """The sharded union scan (ownership mask folded into the membership
+    mask) must equal the sharded per-probe window scan."""
+    x, q = _data(seed=9)
+    mesh = make_mesh()
+    sh = ShardedIVFIndex(SQ(SQConfig(num_bits=8)), _ivf(), mesh=mesh).fit(x)
+    ids_u, s_u = sh.search_with_scores(q, k=6, strategy="union")
+    ids_w, s_w = sh.search_with_scores(q, k=6, strategy="windows")
+    np.testing.assert_allclose(s_u, s_w, rtol=1e-4, atol=1e-4)
+    same = ids_u == ids_w
+    tied = np.isclose(s_u, s_w, rtol=1e-4)
+    assert np.all(same | tied)
