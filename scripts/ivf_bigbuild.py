@@ -34,26 +34,37 @@ from vq_tpu.metrics.recall import recall_at_k
 
 
 class ClusteredVirtualRows:
-    """N×D corpus generated on demand: hash noise around KC planted
-    centroids (gives the coarse k-means real structure without ever
-    materializing the corpus host- or device-side)."""
+    """N×D corpus generated on demand ON DEVICE: hash noise around KC
+    planted centroids (gives the coarse k-means real structure without
+    ever materializing the corpus).  __getitem__ returns jax arrays — the
+    chunked-build helpers (index/ivf._take_rows, chunked_assign,
+    data/sampling.host_sample_rows) consume those without a host round
+    trip.  Host-side generation is a non-starter on this machine: the
+    hash+fma alone measured ~25 s per 131k×1024 numpy chunk (~95 min of
+    pure generation for three 10M passes)."""
 
     def __init__(self, n, d, kc=4096, seed=3):
         self.shape = (n, d)
         self.dtype = np.float32
-        rng = np.random.default_rng(seed)
-        self.cents = rng.standard_normal((kc, d)).astype(np.float32)
+        cents = jax.random.normal(jax.random.PRNGKey(seed), (kc, d),
+                                  jnp.float32)
         self.kc = kc
+
+        @jax.jit
+        def gen(idx):
+            h = (idx.astype(jnp.uint32) * jnp.uint32(2654435761))[:, None]
+            h = h + (jnp.arange(d, dtype=jnp.uint32)
+                     * jnp.uint32(2246822519))
+            noise = (h & jnp.uint32(1023)).astype(jnp.float32) / 1024.0 - 0.5
+            return cents[idx % kc] * 0.3 + noise
+
+        self._gen = gen
 
     def __len__(self):
         return self.shape[0]
 
     def _make(self, idx):
-        idx = np.asarray(idx).reshape(-1)
-        d = self.shape[1]
-        base = (idx[:, None] * 2654435761 + np.arange(d)[None, :] * 97) % 1013
-        noise = base.astype(np.float32) / 1013.0 - 0.5
-        return self.cents[idx % self.kc] * 0.3 + noise
+        return self._gen(jnp.asarray(np.asarray(idx).reshape(-1)))
 
     def __getitem__(self, key):
         if isinstance(key, slice):
@@ -80,9 +91,35 @@ def main():
         IVFConfig(num_clusters=kcl, nprobe=50,
                   kmeans=KMeansConfig(iters=10, max_points_per_centroid=64)),
     )
+    # stage-timed build (same code path as fit(); bench-style coarse reuse)
+    from vq_tpu.data.sampling import chunk_rows_for_bytes, host_sample_rows
+    from vq_tpu.index.ivf import chunked_assign, fit_quantizer_on_residuals
+    from vq_tpu.kernels.kmeans import kmeans
+
+    kmc = idx.ivf_cfg.kmeans
+    t_all = time.perf_counter()
     t0 = time.perf_counter()
-    idx.fit(x)
-    build_s = time.perf_counter() - t0
+    cap = min(n, max(200_000, kmc.max_points_per_centroid * kcl))
+    xs = host_sample_rows(x, cap, kmc.seed)
+    cents = kmeans(jax.random.PRNGKey(kmc.seed),
+                   jnp.asarray(xs, jnp.float32), kcl, kmc)
+    cents.block_until_ready()
+    del xs
+    t_kmeans = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    asn = chunked_assign(x, cents, chunk_rows_for_bytes(d))
+    t_assign = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fit_quantizer_on_residuals(x, asn, cents, quant, seed=kmc.seed)
+    t_qfit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.fit(x, coarse=(cents, asn))
+    t_encode = time.perf_counter() - t0
+    build_s = time.perf_counter() - t_all
+    print(json.dumps({
+        "kmeans_s": round(t_kmeans, 1), "assign_s": round(t_assign, 1),
+        "quant_fit_s": round(t_qfit, 1), "encode_install_s": round(t_encode, 1),
+    }), flush=True)
     code_bytes = int(np.asarray(idx.codes_sorted).nbytes)
     print(json.dumps({
         "n": n, "d": d, "K": kcl,

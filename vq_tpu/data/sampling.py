@@ -36,10 +36,14 @@ def host_sample_rows(x, cap: int, seed: int = 0):
         idx = jax.random.choice(jax.random.PRNGKey(seed), n, (cap,), replace=False)
         return jnp.asarray(x[idx], jnp.float32)
     if n <= cap:
-        return np.asarray(x[:], dtype=np.float32)
-    rng = np.random.default_rng(seed)
-    idx = np.sort(rng.choice(n, cap, replace=False))
-    return np.asarray(x[idx], dtype=np.float32)
+        rows = x[:]
+    else:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(n, cap, replace=False))
+        rows = x[idx]
+    if isinstance(rows, jax.Array):  # device-generating virtual corpus
+        return rows.astype(jnp.float32)
+    return np.asarray(rows, dtype=np.float32)
 
 
 def chunk_rows_for_bytes(dim: int, itemsize: int = 4,

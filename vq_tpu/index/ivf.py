@@ -61,10 +61,15 @@ def _take_rows(X, idx) -> jax.Array:
     """Gather corpus rows by host integer index → (len(idx), D) f32 device
     array.  jax corpora gather on device (no tunnel round trip); host
     corpora (numpy / np.memmap / array-likes) gather host-side and transfer
-    one chunk."""
+    one chunk.  An array-like whose __getitem__ already returns jax arrays
+    (a device-generating virtual corpus, e.g. scripts/ivf_bigbuild.py) is
+    consumed without a host round trip."""
     if isinstance(X, jax.Array):
         return jnp.take(X, jnp.asarray(idx), axis=0).astype(jnp.float32)
-    return jnp.asarray(np.asarray(X[np.asarray(idx)], dtype=np.float32))
+    rows = X[np.asarray(idx)]
+    if isinstance(rows, jax.Array):
+        return rows.astype(jnp.float32)
+    return jnp.asarray(np.asarray(rows, dtype=np.float32))
 
 
 def chunked_assign(X, centroids: jax.Array, chunk: int) -> np.ndarray:
@@ -76,10 +81,11 @@ def chunked_assign(X, centroids: jax.Array, chunk: int) -> np.ndarray:
     out = np.empty(n, dtype=np.int32)
     for i0 in range(0, n, chunk):
         i1 = min(i0 + chunk, n)
+        sl = X[i0:i1]
         xc = (
-            X[i0:i1].astype(jnp.float32)
-            if isinstance(X, jax.Array)
-            else jnp.asarray(np.asarray(X[i0:i1], dtype=np.float32))
+            sl.astype(jnp.float32)
+            if isinstance(sl, jax.Array)
+            else jnp.asarray(np.asarray(sl, dtype=np.float32))
         )
         out[i0:i1] = np.asarray(assign(xc, centroids))
     return out
