@@ -438,6 +438,43 @@ def packed_rabitq_1m(jax, jnp, out, fast):
     )
 
 
+def gen_fullrank_corpus(jax, jnp, n, d, nq, rank=None, csize=100,
+                        spread=1.0, seed=11, block=65536):
+    """Planted-neighborhood corpus at full intrinsic rank, generated in
+    row blocks under lax.map so the latent z never coexists with x — the
+    one-shot generator held z (N, rank) AND x (N, D) live (12.2 GB at
+    N=1M, rank=D=1536: measured RESOURCE_EXHAUSTED on a 16 GB chip).
+    Peak here is x + one (block, D) slab."""
+    if rank is None:
+        rank = d
+    kc = n // csize
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    n_pad = -(-n // block) * block
+
+    @jax.jit
+    def gen():
+        a = jax.random.normal(ks[0], (rank, d), jnp.float32)
+        a = a * ((1.0 + jnp.arange(d)) ** -0.5)
+        cents = jax.random.normal(ks[1], (kc, rank), jnp.float32)
+
+        def one_block(i):
+            rows = i * block + jnp.arange(block)
+            z = cents[rows % kc] + spread * jax.random.normal(
+                jax.random.fold_in(ks[3], i), (block, rank), jnp.float32)
+            xb = z @ a
+            return xb / jnp.linalg.norm(xb, axis=1, keepdims=True)
+
+        x = jax.lax.map(one_block, jnp.arange(n_pad // block))
+        x = x.reshape(n_pad, d)[:n]
+        qdoc = jax.random.randint(ks[4], (nq,), 0, kc)
+        zq = cents[qdoc] + spread * jax.random.normal(ks[5], (nq, rank),
+                                                      jnp.float32)
+        q = zq @ a
+        return x, q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+    return gen()
+
+
 def ivf_flagship(jax, jnp, out, fast):
     """IVF at the reference's flagship operating point (VERDICT r3 task 1).
 
@@ -474,25 +511,7 @@ def ivf_flagship(jax, jnp, out, fast):
     n = 131_072 if fast else 1_048_576
     d, nq = 1536, 256
     rank, csize, spread = 1536, 100, 1.0
-    kc = n // csize
-    ks = jax.random.split(jax.random.PRNGKey(11), 6)
-
-    @jax.jit
-    def gen():  # the recall-gate generator at parameterized N
-        a = jax.random.normal(ks[0], (rank, d), jnp.float32)
-        a = a * ((1.0 + jnp.arange(d)) ** -0.5)
-        cents = jax.random.normal(ks[1], (kc, rank), jnp.float32)
-        asn = jnp.arange(n) % kc
-        z = cents[asn] + spread * jax.random.normal(ks[3], (n, rank),
-                                                    jnp.float32)
-        qdoc = jax.random.randint(ks[4], (nq,), 0, kc)
-        zq = cents[qdoc] + spread * jax.random.normal(ks[5], (nq, rank),
-                                                      jnp.float32)
-        x, q = z @ a, zq @ a
-        return (x / jnp.linalg.norm(x, axis=1, keepdims=True),
-                q / jnp.linalg.norm(q, axis=1, keepdims=True))
-
-    xg, qg = gen()
+    xg, qg = gen_fullrank_corpus(jax, jnp, n, d, nq, rank, csize, spread)
     xg.block_until_ready()
     _, gt = exact_topk(qg, xg, k=100, metric=Metric.L2)
     gt = np.asarray(gt)

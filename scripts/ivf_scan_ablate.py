@@ -43,28 +43,12 @@ from vq_tpu.metrics.recall import recall_at_k
 def gen_gate(n, d, nq, rank=None, csize=100, spread=1.0, seed=11):
     """Planted-neighborhood corpus at FULL intrinsic rank by default — the
     rank-32 gate variant is quantization-insensitive (see bench.py
-    ivf_flagship docstring / BENCH_NOTES corpus-tuning table)."""
-    if rank is None:
-        rank = d
-    kc = n // csize
-    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    ivf_flagship docstring / BENCH_NOTES corpus-tuning table).  Blocked
+    generation (bench.gen_fullrank_corpus) so z and x never coexist."""
+    from bench import gen_fullrank_corpus
 
-    @jax.jit
-    def gen():
-        a = jax.random.normal(ks[0], (rank, d), jnp.float32)
-        a = a * ((1.0 + jnp.arange(d)) ** -0.5)
-        cents = jax.random.normal(ks[1], (kc, rank), jnp.float32)
-        asn = jnp.arange(n) % kc
-        z = cents[asn] + spread * jax.random.normal(ks[3], (n, rank),
-                                                    jnp.float32)
-        qdoc = jax.random.randint(ks[4], (nq,), 0, kc)
-        zq = cents[qdoc] + spread * jax.random.normal(ks[5], (nq, rank),
-                                                      jnp.float32)
-        x, q = z @ a, zq @ a
-        return (x / jnp.linalg.norm(x, axis=1, keepdims=True),
-                q / jnp.linalg.norm(q, axis=1, keepdims=True))
-
-    return gen()
+    return gen_fullrank_corpus(jax, jnp, n, d, nq, rank=rank, csize=csize,
+                               spread=spread, seed=seed)
 
 
 def timed(fn, reps=3):
