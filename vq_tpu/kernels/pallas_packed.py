@@ -321,7 +321,7 @@ def _packed_kernel(
     limit_ref, *rest,
     segs: Tuple[SegSpec, ...], n_lv: int, k: int, nb: int, tile: int,
     family: str, metric_kind: str, norm_col: int, r2_cols: Tuple[int, ...],
-    use_bf16: bool, prune: bool,
+    use_bf16: bool, prune: bool, masked: bool,
 ):
     """One grid step: unpack+dequant `tile` rows, score, fold running top-k.
 
@@ -344,6 +344,10 @@ def _packed_kernel(
     the variance-prune BOUND shape.
 
     limit_ref (1,) i32 SMEM — rows with global id ≥ limit score −inf
+    [mask_ref (nb,) i32 SMEM — per-tile scan mask, masked=True only: tiles
+     with mask 0 are skipped entirely (the IVF probed-tile restriction,
+     index/ivf_packed.py; composes with prune — a tile scans only when
+     masked in AND not pruned)]
     [stats_ref (3, nb) f32 SMEM — per-tile prune stats, prune=True only]
     q_ref   (Q, D)          — pre-rotated queries (resident)
     qa_ref  (Q, 1) f32      — per-query additive term (see callers)
@@ -354,6 +358,10 @@ def _packed_kernel(
     prune] (HBM), then run_s/run_i (Q, _KPAD) VMEM [+ cnt (1,) i32 SMEM]
     """
     pos = 0
+    mask_ref = None
+    if masked:
+        mask_ref = rest[pos]
+        pos += 1
     stats_ref = None
     if prune:
         stats_ref = rest[pos]
@@ -416,7 +424,11 @@ def _packed_kernel(
             s_ub = a + b * (rmax + me)
         kth = run_s_ref[:, k - 1]  # (Q,) current kth-best (−inf until full)
         go = jnp.any(s_ub >= kth)
+        if masked:
+            go = jnp.logical_and(go, mask_ref[step] != 0)
         cnt_ref[0] = cnt_ref[0] + jnp.where(go, 1, 0)
+    elif masked:
+        go = mask_ref[step] != 0
     else:
         go = None
 
@@ -470,7 +482,7 @@ def _packed_kernel(
         s = jnp.where(col_ids < limit_ref[0], s, -jnp.inf)
         fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
 
-    if prune:
+    if prune or masked:
         pl.when(go)(_scan_tile)
     else:
         _scan_tile()
@@ -512,6 +524,7 @@ def packed_scan_topk(
     prune: bool = False,
     tile_stats: Optional[jax.Array] = None,
     qprune: Optional[jax.Array] = None,
+    tile_mask: Optional[jax.Array] = None,
 ):
     """Fused unpack+dequant+score+top-k → ((Q, k) maximize-form, (Q, k) i32).
 
@@ -532,6 +545,14 @@ def packed_scan_topk(
               (Q, 2) f32, and returns a THIRD element: the number of
               tiles actually scanned (i32 scalar) for QueryRuntimeMetrics
               parity (reference caq_estimator.h:33-37).
+    tile_mask — optional (N/512,) i32: tiles with mask 0 are skipped
+              entirely.  The IVF probed-tile restriction
+              (index/ivf_packed.py): the caller computes the tiles
+              overlapping the batch's probed clusters and the kernel
+              scans only those, at full packed-kernel rate.  Composes
+              with prune (a tile scans only when masked in AND its
+              bound survives).  Skipped tiles never fold, so the result
+              equals a scan of the masked-in rows alone.
     """
     tile = _TILE
     num_q, d = q_cat.shape
@@ -554,11 +575,15 @@ def packed_scan_topk(
     if metric_kind == "l2":
         assert r2_cols and all(0 <= c < nf for c in r2_cols), (r2_cols, nf)
 
+    masked = tile_mask is not None
+    if masked:
+        assert tile_mask.shape == (nb,), (tile_mask.shape, nb)
     lim = jnp.full((1,), n if limit is None else limit, dtype=jnp.int32)
     kernel = functools.partial(
         _packed_kernel, segs=segs, n_lv=n_lv, k=k, nb=nb, tile=tile,
         family=family, metric_kind=metric_kind, norm_col=norm_col,
         r2_cols=tuple(r2_cols), use_bf16=use_bf16, prune=prune,
+        masked=masked,
     )
 
     def _wspec(seg):
@@ -585,6 +610,9 @@ def packed_scan_topk(
     ]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [lim]
+    if masked:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(tile_mask.astype(jnp.int32))
     if prune:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(tile_stats.astype(f32).T)  # (5, nb) — see kernel note

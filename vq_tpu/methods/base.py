@@ -116,13 +116,25 @@ class BaseQuantizer:
         return None
 
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
-                        use_bf16=True, interpret=False):
+                        use_bf16=True, interpret=False, tile_mask=None):
         """Maximize-form (scores, SCAN-POSITION ids) over a PackedCorpus —
         the raw kernel entry the sharded path calls per shard under
         shard_map.  The caller owns perm mapping, pad masking (num_valid)
-        and metric finalization.  Only required when prepare_shard_cache
-        returns a cache."""
+        and metric finalization.  tile_mask (N/512,) i32 restricts the
+        scan to masked-in tiles (the IVF probed-tile path,
+        index/ivf_packed.py).  Only required when prepare_shard_cache or
+        prepare_tile_cache returns a cache."""
         raise NotImplementedError
+
+    def prepare_tile_cache(self, codes, norms=None, num_queries=8):
+        """Build an ORDER-PRESERVING packed scan cache (perm=None, rows
+        stay where the caller put them) for tile-masked scans: the
+        IVF-as-tile-mask index (index/ivf_packed.py) keeps rows sorted by
+        coarse cluster so each 512-row kernel tile maps to a contiguous
+        cluster range, and restricts the packed kernel to the probed
+        tiles via packed_scan_raw(tile_mask=...).  Default None = no
+        packed kernel at this geometry."""
+        return None
 
     def residual_scorer(self):
         """Optionally return a CODE-SPACE window scorer for IVF list scans

@@ -229,7 +229,7 @@ def prepare_packed(
 
 def _packed_scan(params, queries, packed, k, metric, num_bits,
                  num_valid=None, interpret=False, use_bf16=True,
-                 prune=False):
+                 prune=False, tile_mask=None):
     from vq_tpu.kernels.pallas_packed import packed_scan_topk
 
     d = params.centroid.shape[0]
@@ -265,6 +265,7 @@ def _packed_scan(params, queries, packed, k, metric, num_bits,
         limit=limit, interpret=interpret,
         use_bf16=use_bf16, prune=prune,
         tile_stats=packed.tile_stats if prune else None, qprune=qprune,
+        tile_mask=tile_mask,
     )
 
 
@@ -452,13 +453,19 @@ class RaBitQ(BaseQuantizer):
         return prepare_packed(self.params, jnp.asarray(codes),
                               self.cfg.num_bits, norms=norms)
 
+    def prepare_tile_cache(self, codes, norms=None, num_queries=8):
+        """Order-preserving packed cache for tile-masked scans (base
+        contract) — the shard cache is already unsorted."""
+        return self.prepare_shard_cache(codes, norms=norms,
+                                        num_queries=num_queries)
+
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
-                        use_bf16=True, interpret=False):
+                        use_bf16=True, interpret=False, tile_mask=None):
         prune = packed.tile_stats is not None and packed.prune_hint
         out = _packed_scan(
             self.params, queries, packed, k, metric, self.cfg.num_bits,
             num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
-            prune=prune,
+            prune=prune, tile_mask=tile_mask,
         )
         return out[0], out[1]
 

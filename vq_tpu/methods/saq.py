@@ -728,7 +728,7 @@ def _packed_query_side(plan, params, queries, seg_ids):
 
 def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
                  seg_ids=None, num_valid=None, interpret=False,
-                 use_bf16=True, prune=False):
+                 use_bf16=True, prune=False, tile_mask=None):
     """Run the fused packed kernel over (a segment subset of) the corpus.
 
     Returns maximize-form (scores, ids) — callers finalize.  seg_ids selects
@@ -778,7 +778,7 @@ def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
         r2_cols=tuple(s_cnt + s for s in seg_ids),
         limit=limit, interpret=interpret, use_bf16=use_bf16,
         prune=prune, tile_stats=packed.tile_stats if prune else None,
-        qprune=qprune,
+        qprune=qprune, tile_mask=tile_mask,
     )
 
 
@@ -1122,13 +1122,24 @@ class SAQ(BaseQuantizer):
                               norms=norms, sort_rows=True,
                               num_valid_rows=num_valid_rows)
 
+    def prepare_tile_cache(self, codes, norms=None, num_queries=8):
+        """Order-preserving packed cache for tile-masked scans (base
+        contract): rows keep the caller's (cluster-sorted) order so tiles
+        map to contiguous cluster ranges; no norm-ordering, no perm."""
+        interp = jax.default_backend() != "tpu"
+        if not _packed_available(self.plan, self.params, num_queries,
+                                 interpret=interp):
+            return None
+        return prepare_packed(self.plan, self.params, jnp.asarray(codes),
+                              norms=norms, sort_rows=False)
+
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
-                        use_bf16=True, interpret=False):
+                        use_bf16=True, interpret=False, tile_mask=None):
         prune = packed.tile_stats is not None and packed.prune_hint
         out = _packed_scan(
             self.plan, self.params, queries, packed, k, metric,
             num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
-            prune=prune,
+            prune=prune, tile_mask=tile_mask,
         )
         return out[0], out[1]
 
