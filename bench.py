@@ -503,12 +503,15 @@ def ivf_flagship(jax, jnp, out, fast):
         SAQConfig,
     )
     from vq_tpu.index.ivf import IvfQuantizedIndex
+    from vq_tpu.index.ivf_packed import IvfPackedFlatIndex
     from vq_tpu.kernels.adc import exact_topk
     from vq_tpu.methods.pq import PQ
     from vq_tpu.methods.saq import SAQ
     from vq_tpu.metrics.recall import recall_at_k
 
     n = 131_072 if fast else 1_048_576
+    if os.environ.get("VQ_BENCH_SMOKE") == "1":  # CPU shape-smoke only
+        n = 8192
     d, nq = 1536, 256
     rank, csize, spread = 1536, 100, 1.0
     xg, qg = gen_fullrank_corpus(jax, jnp, n, d, nq, rank, csize, spread)
@@ -516,7 +519,8 @@ def ivf_flagship(jax, jnp, out, fast):
     _, gt = exact_topk(qg, xg, k=100, metric=Metric.L2)
     gt = np.asarray(gt)
 
-    kcl = 1024 if fast else 4096
+    smoke = os.environ.get("VQ_BENCH_SMOKE") == "1"
+    kcl = 64 if smoke else (1024 if fast else 4096)
     # coarse k-means: random-row init (auto), 64 samples/centroid — the
     # k-means++ scan is prohibitive at K=4096 (kernels/kmeans.py note).
     # The coarse pass (k-means + assignment) is shared by every config —
@@ -543,7 +547,9 @@ def ivf_flagship(jax, jnp, out, fast):
         ("pq_m192", lambda: PQ(PQConfig(num_subquantizers=192, num_bits=8,
                                         kmeans=KMeansConfig(iters=10)))),
     ]
-    if fast:
+    if smoke:
+        configs = [configs[1]]
+    elif fast:
         configs = [configs[1], configs[3]]
     for name, make in configs:
         idx = IvfQuantizedIndex(
@@ -565,7 +571,33 @@ def ivf_flagship(jax, jnp, out, fast):
             for kk in (1, 10, 100):
                 out[f"{pre}_recall{kk}"] = round(recall_at_k(gt, ids, kk), 4)
         del idx
-    del xg, qg
+
+    # the probed-TILE packed scan (index/ivf_packed.py): IVF routing as a
+    # tile mask over the flat packed kernel — the round-4 redesign the
+    # strategy ablation motivated (BENCH_NOTES)
+    mk = IvfPackedFlatIndex(
+        SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True)),
+        IVFConfig(num_clusters=kcl, nprobe=200, kmeans=kmc),
+    )
+    t0 = time.perf_counter()
+    mk.fit(xg, coarse=(cents, asn))
+    out["ivfpk_saq_bpd2_build_s"] = round(time.perf_counter() - t0, 1)
+    nb_total = -(-n // 512)
+    for nprobe in (50, 200):
+        mk.ivf_cfg = dataclasses.replace(mk.ivf_cfg, nprobe=nprobe)
+        mk._search_fn = None
+        ids, _ = mk.search_with_scores(qg, k=100)  # warm + compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ids, _ = mk.search_with_scores(qg, k=100)
+            times.append(time.perf_counter() - t0)
+        pre = f"ivfpk_saq_bpd2_np{nprobe}"
+        out[f"{pre}_qps"] = round(nq / min(times), 1)
+        out[f"{pre}_tiles_frac"] = round(mk.last_tiles_scanned / nb_total, 3)
+        for kk in (1, 10, 100):
+            out[f"{pre}_recall{kk}"] = round(recall_at_k(gt, ids, kk), 4)
+    del mk, xg, qg
 
 
 def compiled_exactness_assert(jax, jnp, out):
