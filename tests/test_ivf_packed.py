@@ -120,3 +120,65 @@ def test_nip_metric_masked():
     ids, sc = idx.search_with_scores(data.queries, k=5)
     assert ids.shape == (8, 5)
     assert np.all(np.diff(sc, axis=1) <= 1e-5)  # NIP descending
+
+
+def test_ivf_packed_save_load(tmp_path):
+    data = load_dummy_dataset(num_vectors=3000, dim=32, num_queries=12,
+                              seed=25)
+    idx = _fit(data, nprobe=3)
+    ids, sc = idx.search_with_scores(data.queries, k=5)
+    p = str(tmp_path / "ivfpk.pkl")
+    idx.save(p)
+    idx2 = IvfPackedFlatIndex(
+        SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True)), _ivf()
+    ).load(p)
+    ids2, sc2 = idx2.search_with_scores(data.queries, k=5)
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_allclose(sc, sc2, rtol=1e-5)
+    assert idx2.memory_footprint() > 0
+
+
+def test_query_groups_same_results():
+    """Probe-coherent grouping changes WORK (per-group masks), never the
+    per-query candidate floor: every query's own probed clusters are in
+    its group's union, so grouped results match the ungrouped batch-union
+    results whenever the ungrouped mask covers each group's mask — checked
+    here at full probe (both scan everything) and at partial probe against
+    the per-query semantics used in test_partial_probe_matches_masked_
+    bruteforce (recall must not drop)."""
+    data = load_dummy_dataset(num_vectors=4000, dim=32, num_queries=24,
+                              seed=26)
+    idx = _fit(data, nprobe=8)  # full probe: groups mask everything in
+    ids_u, sc_u = idx.search_with_scores(data.queries, k=7)
+    ids_g, sc_g = idx.search_with_scores(data.queries, k=7, query_groups=4)
+    np.testing.assert_allclose(np.sort(sc_g, axis=1), np.sort(sc_u, axis=1),
+                               rtol=1e-4, atol=1e-4)
+
+    # partial probe: each group's mask is a SUBSET of the batch union
+    # (that is the work restriction), but every query keeps its OWN
+    # probed clusters — so the floor is the per-query residual-IVF
+    # recall at the same coarse geometry, not the batch-union recall
+    idx_p = _fit(data, nprobe=2)
+    tiles_u = idx_p.last_tiles_scanned  # 0 before any search
+    ids_g, _ = idx_p.search_with_scores(data.queries, k=10, query_groups=6)
+    r_g = recall_at_k(data.ground_truth, ids_g, 10)
+    idx_r = IvfQuantizedIndex(
+        SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True)), _ivf(nq=8, nprobe=2)
+    ).fit(data.vectors)
+    ids_r, _ = idx_r.search_with_scores(data.queries, k=10)
+    r_r = recall_at_k(data.ground_truth, ids_r, 10)
+    assert r_g >= r_r - 0.05, (r_g, r_r)
+    assert idx_p.last_tiles_scanned >= tiles_u  # sum over groups
+
+
+def test_query_groups_pad_by_repeat():
+    """nq not divisible by G: the pad repeats the last query (never a
+    zero row probing origin clusters) and results cover exactly nq."""
+    data = load_dummy_dataset(num_vectors=3000, dim=32, num_queries=11,
+                              seed=27)
+    idx = _fit(data, nprobe=3)
+    ids_u, sc_u = idx.search_with_scores(data.queries, k=5)
+    ids_g, sc_g = idx.search_with_scores(data.queries, k=5, query_groups=4)
+    assert ids_g.shape == (11, 5)
+    # per-query top-1 must survive grouping (own probes always in-mask)
+    assert (ids_g[:, 0] == ids_u[:, 0]).mean() >= 0.9

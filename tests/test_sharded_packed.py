@@ -113,3 +113,30 @@ def test_sharded_packed_nip_metric():
     np.testing.assert_array_equal(ids, np.asarray(i_ref).astype(np.uint32))
     np.testing.assert_allclose(scores, np.asarray(s_ref), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_sharded_packed_save_load(tmp_path):
+    """Round-trip through save/load reproduces identical results on the
+    same-size mesh; a mismatched shard count is rejected."""
+    rng = np.random.default_rng(4)
+    x, q = _corpus(rng, n=2100)
+    m = saq_mod.SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True))
+    idx = ShardedPackedFlatIndex(
+        m, SearchConfig(use_bf16=False), mesh=make_mesh()
+    ).fit(x)
+    ids, scores = idx.search_with_scores(q, k=6)
+    p = str(tmp_path / "spf.pkl")
+    idx.save(p)
+
+    idx2 = ShardedPackedFlatIndex(
+        saq_mod.SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True)),
+        SearchConfig(use_bf16=False), mesh=make_mesh(),
+    ).load(p)
+    ids2, scores2 = idx2.search_with_scores(q, k=6)
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_allclose(scores, scores2, rtol=1e-5)
+
+    state = idx._state()
+    state["num_shards"] = idx.num_shards + 1
+    with pytest.raises(ValueError, match="shards"):
+        idx2._restore(state)

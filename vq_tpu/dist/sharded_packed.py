@@ -274,3 +274,55 @@ class ShardedPackedFlatIndex(BaseSearchIndex):
 
     def reconstruction_mse(self, X: np.ndarray, sample: Optional[int] = 10000) -> float:
         return self.quantizer.reconstruction_mse(X, sample)
+
+    # ------------------------------------------------------------ save/load
+    def _state(self) -> dict:
+        """Persist the stacked (P, …) per-shard cache leaves (np.asarray
+        gathers a sharded array).  The per-shard layout (local norm order,
+        local pad tails) is baked into the leaves, so a load re-shards the
+        SAME split — the restoring mesh must have the same device count
+        (re-splitting P shards over P' devices would break each shard's
+        local perm/num_valid layout; refit for a different mesh).
+        Reference: base_search_index.py:21-89 persists every index."""
+        import pickle
+
+        return {
+            "quantizer": pickle.dumps(self.quantizer),
+            "search_cfg": self.search_cfg,
+            "num_rows": self.num_rows,
+            "n_loc": self._n_loc,
+            "num_shards": self.num_shards,
+            "words": [np.asarray(w) for w in self._words],
+            "factors": np.asarray(self._factors),
+            "stats": (np.asarray(self._stats)
+                      if self._stats is not None else None),
+            "perm": np.asarray(self._perm),
+            "has_norms": self._has_norms,
+            "prune_hint": self._prune_hint,
+        }
+
+    def _restore(self, state: dict) -> None:
+        import pickle
+
+        if state["num_shards"] != self.num_shards:
+            raise ValueError(
+                f"index was saved with {state['num_shards']} shards but the "
+                f"current mesh has {self.num_shards} devices — per-shard "
+                "packed layouts are not re-splittable; refit on this mesh"
+            )
+        self.quantizer = pickle.loads(state["quantizer"])
+        self.search_cfg = state["search_cfg"]
+        self.num_rows = state["num_rows"]
+        self._n_loc = state["n_loc"]
+        self._words = tuple(
+            shard_rows(self.mesh, jnp.asarray(w)) for w in state["words"]
+        )
+        self._factors = shard_rows(self.mesh, jnp.asarray(state["factors"]))
+        self._stats = (
+            shard_rows(self.mesh, jnp.asarray(state["stats"]))
+            if state["stats"] is not None else None
+        )
+        self._perm = shard_rows(self.mesh, jnp.asarray(state["perm"]))
+        self._has_norms = state["has_norms"]
+        self._prune_hint = state["prune_hint"]
+        self._search_cache = {}

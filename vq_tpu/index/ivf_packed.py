@@ -28,6 +28,20 @@ per-query probing path's at equal nprobe; scores are the flat packed
 scores.  Reference contrast: the engine scans per (query, cluster) with
 AVX heaps (external/saq/include/index/ivf_index.h:249-266); the TPU-native
 reformulation makes probing a grid-step predicate on the flat kernel.
+
+Probe-coherent query grouping (round 5): one batch-union mask saturates at
+serving batch sizes (measured 97–99% of tiles masked in at nq=256,
+BENCH_r04 ivfpk_*_tiles_frac) — the union of 256 incoherent queries'
+probes covers nearly every cluster.  `query_groups=G` sorts the batch by
+nearest coarse cell and runs G per-group tile masks + G masked kernel
+passes inside ONE jit (lax.map): each group's union is the probes of
+nq/G COHERENT queries, so masked-in fractions drop toward the per-query
+nprobe/K floor while each pass still batches enough queries for the MXU.
+This is the same lever that made norm-banded variance-prune win (BENCH_
+NOTES r3 crossover): make the work-restriction predicate see a coherent
+batch.  Total HBM traffic is Σ_g tiles_g (can exceed one dense pass when
+groups don't cohere — last_tiles_scanned reports the sum so callers can
+see whether probing paid).
 """
 
 from __future__ import annotations
@@ -45,6 +59,7 @@ from vq_tpu.index.base import BaseSearchIndex
 from vq_tpu.index.ivf import chunked_assign, encode_rows_ordered
 from vq_tpu.kernels.adc import _bf16_supported, _finalize
 from vq_tpu.kernels.kmeans import kmeans, pairwise_sqdist_xc
+from vq_tpu.kernels.pallas_packed import PackedCorpus
 from vq_tpu.methods.base import BaseQuantizer
 
 _TILE = 512  # kernels/pallas_packed._TILE
@@ -61,10 +76,12 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         quantizer: BaseQuantizer,
         ivf_cfg: IVFConfig = IVFConfig(),
         search_cfg: SearchConfig = SearchConfig(),
+        query_groups: int = 1,
     ):
         self.quantizer = quantizer
         self.ivf_cfg = ivf_cfg
         self.search_cfg = search_cfg
+        self.query_groups = query_groups  # default G for search calls
         self.centroids: Optional[jax.Array] = None
         self.cache = None  # order-preserving PackedCorpus
         self.ids_sorted: Optional[jax.Array] = None  # (N,) position → gid
@@ -72,6 +89,7 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         self.cl_last: Optional[jax.Array] = None  # (nb,)
         self.num_rows = 0
         self._search_fn = None
+        self._last_tiles = None  # device scalar; synced lazily (property)
 
     # ------------------------------------------------------------------ fit
     def fit(self, X, chunk_rows: int = 0, coarse=None) -> "IvfPackedFlatIndex":
@@ -137,45 +155,97 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         use_bf16 = self.search_cfg.use_bf16 and _bf16_supported()
         interp = jax.default_backend() != "tpu"
 
-        @functools.partial(jax.jit, static_argnames=("kk", "np_"))
-        def run(q, centroids, cache, ids_sorted, cl_first, cl_last, kk, np_):
+        @functools.partial(jax.jit, static_argnames=("kk", "np_", "ng"))
+        def run(q, centroids, cache, ids_sorted, cl_first, cl_last,
+                kk, np_, ng):
             q = q.astype(jnp.float32)
+            nq = q.shape[0]
             cd = pairwise_sqdist_xc(q, centroids)  # (Q, K)
             _, probe = jax.lax.top_k(-cd, np_)
-            probed = jnp.zeros((k_cl,), jnp.int32)
-            probed = probed.at[probe.reshape(-1)].set(1)
-            # tile mask in O(K + tiles): a tile is scanned iff any cluster
-            # in its [first, last] range is probed — prefix sums over the
-            # probed flag make the range-any a two-gather subtraction
-            pref = jnp.cumsum(probed)  # (K,) inclusive
-            hi = pref[cl_last]
-            lo = jnp.where(cl_first > 0, pref[jnp.maximum(cl_first - 1, 0)], 0)
-            mask = (hi - lo > 0).astype(jnp.int32)  # (nb,)
-            s, pos = quantizer.packed_scan_raw(
-                q, cache, kk, metric, use_bf16=use_bf16, interpret=interp,
-                tile_mask=mask,
-            )
+            if ng > 1:
+                # probe-coherent grouping: sort the batch by its nearest
+                # coarse cell so each group's probe union stays small
+                order = jnp.argsort(probe[:, 0])
+                qs = jnp.take(q, order, axis=0).reshape(ng, nq // ng, -1)
+                ps = jnp.take(probe, order, axis=0).reshape(
+                    ng, nq // ng, np_)
+            else:
+                qs, ps = q[None], probe[None]
+
+            def one_group(args):
+                qb, pb = args
+                probed = jnp.zeros((k_cl,), jnp.int32)
+                probed = probed.at[pb.reshape(-1)].set(1)
+                # tile mask in O(K + tiles): a tile is scanned iff any
+                # cluster in its [first, last] range is probed — prefix
+                # sums over the probed flag make the range-any a
+                # two-gather subtraction
+                pref = jnp.cumsum(probed)  # (K,) inclusive
+                hi = pref[cl_last]
+                lo = jnp.where(cl_first > 0,
+                               pref[jnp.maximum(cl_first - 1, 0)], 0)
+                mask = (hi - lo > 0).astype(jnp.int32)  # (nb,)
+                s, pos = quantizer.packed_scan_raw(
+                    qb, cache, kk, metric, use_bf16=use_bf16,
+                    interpret=interp, tile_mask=mask,
+                )
+                return s, pos, jnp.sum(mask)
+
+            if ng > 1:
+                s, pos, tiles = jax.lax.map(one_group, (qs, ps))
+                inv = jnp.argsort(order)
+                s = jnp.take(s.reshape(nq, kk), inv, axis=0)
+                pos = jnp.take(pos.reshape(nq, kk), inv, axis=0)
+                tiles = jnp.sum(tiles)
+            else:
+                s, pos, tiles = one_group((qs[0], ps[0]))
             gid = jnp.take(ids_sorted, jnp.clip(pos, 0, ids_sorted.shape[0] - 1))
             q_sq = jnp.sum(q * q, axis=-1)
             scores, ids = _finalize(s, gid, metric, q_sq)
-            return scores, ids, jnp.sum(mask)
+            return scores, ids, tiles
 
         return run
 
     def search_with_scores(
-        self, queries: np.ndarray, k: int = 10
+        self, queries: np.ndarray, k: int = 10,
+        query_groups: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """query_groups=G > 1 runs G probe-coherent group masks + masked
+        kernel passes (module docstring); None uses the index default.
+        The batch is padded to a G multiple by REPEATING its last query
+        (zero-pad rows would probe origin-nearest clusters and inflate
+        their group's mask — ADVICE r4)."""
         nprobe = min(self.ivf_cfg.nprobe, int(self.centroids.shape[0]))
         if self._search_fn is None:
             self._search_fn = self._build_search_fn()
+        q = jnp.asarray(queries, jnp.float32)
+        nq = q.shape[0]
+        ng = self.query_groups if query_groups is None else query_groups
+        ng = max(1, min(int(ng), nq))
+        pad = (-nq) % ng
+        if pad:
+            q = jnp.concatenate(
+                [q, jnp.broadcast_to(q[-1:], (pad, q.shape[1]))])
         scores, ids, tiles = self._search_fn(
-            jnp.asarray(queries, jnp.float32), self.centroids, self.cache,
+            q, self.centroids, self.cache,
             self.ids_sorted, self.cl_first, self.cl_last,
-            kk=k, np_=nprobe,
+            kk=k, np_=nprobe, ng=ng,
         )
-        self.last_tiles_scanned = int(tiles)
-        ids = np.asarray(ids)
-        return np.where(ids < 0, 0, ids).astype(np.uint32), np.asarray(scores)
+        self._last_tiles = tiles  # no host sync here (ADVICE r4) — the
+        # last_tiles_scanned property syncs only when read
+        ids = np.asarray(ids)[:nq]
+        scores = np.asarray(scores)[:nq]
+        return np.where(ids < 0, 0, ids).astype(np.uint32), scores
+
+    @property
+    def last_tiles_scanned(self) -> int:
+        """Tile-scans the last search's masks let through, summed over
+        query groups (== masked-in tiles when query_groups == 1; the
+        variance-prune stage may skip further tiles inside the kernel).
+        Reading this property is what syncs the device scalar."""
+        return int(self._last_tiles) if self._last_tiles is not None else 0
+
+    last_tiles_masked_in = last_tiles_scanned
 
     # ---------------------------------------------------------------- misc
     def memory_footprint(self) -> int:
@@ -195,3 +265,59 @@ class IvfPackedFlatIndex(BaseSearchIndex):
 
     def reconstruction_mse(self, X: np.ndarray, sample: Optional[int] = 10000) -> float:
         return self.quantizer.reconstruction_mse(X, sample)
+
+    # ------------------------------------------------------------ save/load
+    def _state(self) -> dict:
+        """Persist the packed cache leaves directly (reference persists
+        every index — base_search_index.py:21-89, ivf_index.cpp:376-425);
+        the cache is order-preserving (perm None by contract) so a load
+        needs no re-encode or re-sort."""
+        import pickle
+
+        c = self.cache
+        return {
+            "quantizer": pickle.dumps(self.quantizer),
+            "ivf_cfg": self.ivf_cfg,
+            "search_cfg": self.search_cfg,
+            "query_groups": self.query_groups,
+            "centroids": np.asarray(self.centroids),
+            "ids_sorted": np.asarray(self.ids_sorted),
+            "cl_first": np.asarray(self.cl_first),
+            "cl_last": np.asarray(self.cl_last),
+            "num_rows": self.num_rows,
+            "cache": {
+                "words": [np.asarray(w) for w in c.words],
+                "factors": np.asarray(c.factors),
+                "tile_stats": (np.asarray(c.tile_stats)
+                               if c.tile_stats is not None else None),
+                "num_rows": c.num_rows,
+                "has_norms": c.has_norms,
+                "prune_hint": c.prune_hint,
+            },
+        }
+
+    def _restore(self, state: dict) -> None:
+        import pickle
+
+        self.quantizer = pickle.loads(state["quantizer"])
+        self.ivf_cfg = state["ivf_cfg"]
+        self.search_cfg = state["search_cfg"]
+        self.query_groups = state.get("query_groups", 1)
+        self.centroids = jnp.asarray(state["centroids"])
+        self.ids_sorted = jnp.asarray(state["ids_sorted"])
+        self.cl_first = jnp.asarray(state["cl_first"])
+        self.cl_last = jnp.asarray(state["cl_last"])
+        self.num_rows = state["num_rows"]
+        cs = state["cache"]
+        self.cache = PackedCorpus(
+            words=tuple(jnp.asarray(w) for w in cs["words"]),
+            factors=jnp.asarray(cs["factors"]),
+            num_rows=cs["num_rows"],
+            tile_stats=(jnp.asarray(cs["tile_stats"])
+                        if cs["tile_stats"] is not None else None),
+            has_norms=cs["has_norms"],
+            perm=None,
+            prune_hint=cs["prune_hint"],
+        )
+        self._search_fn = None
+        self._last_tiles = None
