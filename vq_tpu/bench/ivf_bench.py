@@ -82,12 +82,29 @@ def _build_index(method: str, d: int, bpd: float, num_clusters: int, nprobe: int
         from vq_tpu.methods.saq import SAQ
 
         return FlatQuantizedIndex(SAQ(SAQConfig(bits_per_dim=bpd)), sc)
+    if method == "saq_ivf_packed":
+        # probed-TILE packed IVF (index/ivf_packed.py): IVF routing as a
+        # tile mask over the flat packed kernel — the round-4 winner
+        # (1720 QPS / r@100 0.9655 vs the union scan's 629 / 0.847 at the
+        # flagship point).  Reference runner-table parity:
+        # benchmarks/ivf_benchmark.py:351-359.
+        from vq_tpu.index.ivf_packed import IvfPackedFlatIndex
+        from vq_tpu.methods.saq import SAQ
+
+        return IvfPackedFlatIndex(SAQ(SAQConfig(bits_per_dim=bpd)), ivf, sc)
+    if method == "rabitq_ivf_packed":
+        from vq_tpu.index.ivf_packed import IvfPackedFlatIndex
+        from vq_tpu.methods.rabitq import RaBitQ
+
+        return IvfPackedFlatIndex(
+            RaBitQ(RaBitQConfig(max(1, int(round(bpd))))), ivf, sc
+        )
     raise ValueError(f"unknown ivf-bench method {method!r}")
 
 
 METHOD_RUNNERS = (
     "pq_flat", "sq_flat", "opq_flat", "rabitq", "rabitq_ivf", "ivf_pq",
-    "saq", "saq_flat",
+    "saq", "saq_flat", "saq_ivf_packed", "rabitq_ivf_packed",
 )
 
 

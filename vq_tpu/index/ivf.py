@@ -56,6 +56,11 @@ from vq_tpu.methods.base import BaseQuantizer
 # scan_probed_lists (a window reads at most `chunk` rows past a list end).
 _PAD_SLACK = 1024
 
+# Working-buffer budget for the union scan's probed-distance recompute:
+# the (Q, slab, D) difference slabs stay under this many bytes (tests
+# shrink it to force the slab path at small shapes).
+_QRS_SLAB_BYTES = 32 << 20
+
 
 def _take_rows(X, idx) -> jax.Array:
     """Gather corpus rows by host integer index → (len(idx), D) f32 device
@@ -310,6 +315,7 @@ def scan_union_lists(
     scorer_window=None,
     q_side: Optional[Tuple[jax.Array, jax.Array]] = None,
     c_side: Optional[Tuple[jax.Array, jax.Array]] = None,
+    q_valid: Optional[jax.Array] = None,
 ):
     """QUERY-SHARED union scan of the probed lists → maximize-form
     (scores (Q, k), global ids (Q, k)).
@@ -354,6 +360,10 @@ def scan_union_lists(
         allowed = allowed.at[qi, probes].set(True)
     else:
         allowed = allowed.at[qi, probes].max(probe_mask)
+    if q_valid is not None:
+        # pad queries in a partially-filled block must not add their
+        # (origin-nearest) probes to the batch union (ADVICE r4)
+        allowed = allowed & q_valid[:, None]
     union = jnp.any(allowed, axis=0)  # (K,)
     sz_u = jnp.where(union, sizes, 0)
     pref = jnp.cumsum(sz_u)  # (K,) inclusive prefix of probed rows
@@ -368,8 +378,33 @@ def scan_union_lists(
         # catastrophically when norms dwarf the distances (f32 error
         # ~eps·‖q‖², 5% on the skewed-corpus test); recompute the PROBED
         # entries from the direct difference — a fused (Q, P) reduction,
-        # the same accuracy the per-probe window path gets from qr
-        qrs = jnp.sum((q[:, None, :] - centroids[probes]) ** 2, axis=-1)
+        # the same accuracy the per-probe window path gets from qr.
+        # Computed in probe SLABS: the one-shot (Q, P, D) difference is
+        # 315 MB at Q=256, P=200, D=1536 and scales with the serving
+        # batch (VERDICT r4 weak #4) — slabs cap the buffer at ~32 MB.
+        d_dim = q.shape[1]
+        num_p = probes.shape[1]
+        slab = max(1, int(_QRS_SLAB_BYTES // (4 * num_q * d_dim)))
+        if slab < num_p:
+            p_pad = -(-num_p // slab) * slab
+            pr = probes
+            if p_pad > num_p:
+                # repeat column 0: duplicate scatters write the same value
+                pr = jnp.concatenate(
+                    [probes,
+                     jnp.broadcast_to(probes[:, :1],
+                                      (num_q, p_pad - num_p))], axis=1)
+
+            def one_slab(ps):  # (Q, slab) probe columns
+                return jnp.sum((q[:, None, :] - centroids[ps]) ** 2,
+                               axis=-1)
+
+            qrs = jax.lax.map(
+                one_slab,
+                pr.reshape(num_q, p_pad // slab, slab).transpose(1, 0, 2),
+            ).transpose(1, 0, 2).reshape(num_q, p_pad)[:, :num_p]
+        else:
+            qrs = jnp.sum((q[:, None, :] - centroids[probes]) ** 2, axis=-1)
         cd = cd.at[qi, probes].set(qrs)
     else:
         # q·c from the sqdist table: q·c = (‖q‖² + ‖c‖² − cd) / 2
@@ -576,14 +611,16 @@ class IvfQuantizedIndex(BaseSearchIndex):
             q_map = window_fn = None
 
         @functools.partial(jax.jit, static_argnames=("kk", "np_"))
-        def run(qs, centroids, codes, ids, norms, offsets, sizes, c_side,
-                kk, np_):
+        def run(qs, qs_valid, centroids, codes, ids, norms, offsets, sizes,
+                c_side, kk, np_):
             # qs is (num_blocks, block, D): lax.map scans the query blocks
             # ON DEVICE, so a whole serving batch is ONE dispatch over the
             # tunnel (the previous host loop paid a ~28 ms round trip per
             # block — ~128 of them at flagship geometry) while peak memory
-            # stays one block's decoded window.
-            def one_block(q):
+            # stays one block's decoded window.  qs_valid (num_blocks,
+            # block) bool masks pad rows out of the union's probe set.
+            def one_block(args):
+                q, qv = args
                 q = q.astype(jnp.float32)
                 cd = pairwise_sqdist_xc(q, centroids)  # (Q, K)
                 _, probe = jax.lax.top_k(-cd, np_)  # nearest centroids (Q, P)
@@ -593,6 +630,7 @@ class IvfQuantizedIndex(BaseSearchIndex):
                         q, probe, cd, centroids, codes, ids, norms, offsets,
                         sizes, decode_fn, kk, metric, chunk=chunk,
                         scorer_window=window_fn, q_side=q_side, c_side=c_side,
+                        q_valid=qv,
                     )
                 else:
                     ts, ti = scan_probed_lists(
@@ -604,7 +642,7 @@ class IvfQuantizedIndex(BaseSearchIndex):
                     ts = -ts
                 return ts, ti
 
-            return jax.lax.map(one_block, qs)
+            return jax.lax.map(one_block, (qs, qs_valid))
 
         return run
 
@@ -625,23 +663,29 @@ class IvfQuantizedIndex(BaseSearchIndex):
 
     def _search_device(
         self, queries: jax.Array, k: int, nprobe: int, chunk: int = 512,
-        strategy: str = "windows",
+        strategy: str = "union",
     ) -> Tuple[jax.Array, jax.Array]:
         """Single-block search (qs stacked to one block); serving batches go
-        through search_with_scores, which maps blocks in one dispatch."""
+        through search_with_scores, which maps blocks in one dispatch.
+        Default strategy matches search_with_scores' auto → "union"
+        (ADVICE r4: inconsistent internal defaults made direct callers
+        exercise the non-default path unintentionally)."""
         ts, ti = self._run_blocks(queries[None], k, nprobe, chunk, strategy)
         return ts[0], ti[0]
 
     def _run_blocks(
-        self, qs: jax.Array, k: int, nprobe: int, chunk: int, strategy: str
+        self, qs: jax.Array, k: int, nprobe: int, chunk: int, strategy: str,
+        qs_valid: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         if strategy != "union":
             assert chunk <= _PAD_SLACK, (chunk, _PAD_SLACK)
+        if qs_valid is None:
+            qs_valid = jnp.ones(qs.shape[:2], bool)
         if self._search_fn is None or self._search_fn_chunk != (chunk, strategy):
             self._search_fn = self._build_search_fn(chunk, strategy)
             self._search_fn_chunk = (chunk, strategy)
         return self._search_fn(
-            qs, self.centroids, self.codes_sorted, self.ids_sorted,
+            qs, qs_valid, self.centroids, self.codes_sorted, self.ids_sorted,
             self.norms_sorted, self.offsets, self.sizes, self._c_side,
             kk=k, np_=nprobe,
         )
@@ -665,10 +709,19 @@ class IvfQuantizedIndex(BaseSearchIndex):
             chunk = self._auto_chunk(strategy)
         if query_block is None:
             if strategy == "union":
-                # union memory is (chunk, D) decoded + (Q, chunk) + (Q, K)
-                # — independent of nprobe; run the whole batch as ONE
-                # block, padded to a pow2 ≥ 16 to bound trace count
-                query_block = max(16, 1 << int(np.ceil(np.log2(max(1, nq)))))
+                # union memory is (chunk, D) decoded + per-query working
+                # rows of ~4·(K + chunk + a few k) bytes ((Q, K) cd +
+                # allowed, (Q, chunk) window scores, (Q, k+chunk) top-k
+                # concat) — independent of nprobe.  Run the batch as ONE
+                # block (pow2-padded, floor 16) up to the decode budget;
+                # past it, cap the block so a very large serving batch
+                # maps multiple blocks instead of OOMing (ADVICE r4).
+                kc = int(self.sizes.shape[0])
+                cap_rows = max(16, decode_budget_bytes // (4 * (kc + 2 * chunk)))
+                cap = 1 << int(np.log2(cap_rows))
+                query_block = min(
+                    max(16, 1 << int(np.ceil(np.log2(max(1, nq))))), cap
+                )
             else:
                 # the scan window decodes (block, nprobe, chunk) rows of D
                 # f32 — auto-size the query block so that buffer stays
@@ -687,7 +740,9 @@ class IvfQuantizedIndex(BaseSearchIndex):
         if pad:
             q = jnp.pad(q, ((0, pad), (0, 0)))
         qs = q.reshape(-1, query_block, q.shape[1])
-        ts, ti = self._run_blocks(qs, k, nprobe, chunk, strategy)
+        valid = jnp.arange(qs.shape[0] * query_block) < nq
+        ts, ti = self._run_blocks(qs, k, nprobe, chunk, strategy,
+                                  qs_valid=valid.reshape(qs.shape[:2]))
         scores = np.asarray(ts).reshape(-1, k)[:nq]
         ids = np.asarray(ti).reshape(-1, k)[:nq]
         ids = np.where(ids < 0, 0, ids)  # pad guard (masked scores are ±inf)
