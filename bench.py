@@ -574,30 +574,87 @@ def ivf_flagship(jax, jnp, out, fast):
 
     # the probed-TILE packed scan (index/ivf_packed.py): IVF routing as a
     # tile mask over the flat packed kernel — the round-4 redesign the
-    # strategy ablation motivated (BENCH_NOTES)
-    mk = IvfPackedFlatIndex(
-        SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True)),
-        IVFConfig(num_clusters=kcl, nprobe=200, kmeans=kmc),
-    )
-    t0 = time.perf_counter()
-    mk.fit(xg, coarse=(cents, asn))
-    out["ivfpk_saq_bpd2_build_s"] = round(time.perf_counter() - t0, 1)
+    # strategy ablation motivated (BENCH_NOTES).  Round 5 (VERDICT tasks
+    # 2-4): a bpd {1,2,4} + RaBitQ LADDER (the reference's three-bpd IVF
+    # table is the comparison surface, external/saq/README.md:50-56), a
+    # dense-flat baseline AT THE SAME GEOMETRY (nprobe=K masks every tile
+    # in — bit-identical to the flat packed scan per
+    # tests/test_ivf_packed.py, so the IVF table carries its own
+    # baseline), and a batch-size × query-groups sweep on the bpd=2 index
+    # (probe-coherent grouping, ivf_packed.py module docstring).
+    from vq_tpu.core.config import RaBitQConfig
+    from vq_tpu.methods.rabitq import RaBitQ
+
+    ladder = [
+        ("saq_bpd1", lambda: SAQ(SAQConfig(bits_per_dim=1.0, use_pca=True))),
+        ("saq_bpd2", lambda: SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True))),
+        ("saq_bpd4", lambda: SAQ(SAQConfig(bits_per_dim=4.0, use_pca=True))),
+        ("rabitq_b2", lambda: RaBitQ(RaBitQConfig(num_bits=2))),
+    ]
+    if smoke or fast:
+        ladder = [ladder[1]]
     nb_total = -(-n // 512)
-    for nprobe in (50, 200):
-        mk.ivf_cfg = dataclasses.replace(mk.ivf_cfg, nprobe=nprobe)
-        mk._search_fn = None
-        ids, _ = mk.search_with_scores(qg, k=100)  # warm + compile
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            ids, _ = mk.search_with_scores(qg, k=100)
-            times.append(time.perf_counter() - t0)
-        pre = f"ivfpk_saq_bpd2_np{nprobe}"
-        out[f"{pre}_qps"] = round(nq / min(times), 1)
-        out[f"{pre}_tiles_frac"] = round(mk.last_tiles_scanned / nb_total, 3)
-        for kk in (1, 10, 100):
-            out[f"{pre}_recall{kk}"] = round(recall_at_k(gt, ids, kk), 4)
-    del mk, xg, qg
+    mk_bpd2 = None
+    for lname, lmake in ladder:
+        mk = IvfPackedFlatIndex(
+            lmake(), IVFConfig(num_clusters=kcl, nprobe=200, kmeans=kmc)
+        )
+        t0 = time.perf_counter()
+        mk.fit(xg, coarse=(cents, asn))
+        out[f"ivfpk_{lname}_build_s"] = round(time.perf_counter() - t0, 1)
+        # nprobe=K == the dense flat packed scan at flagship geometry
+        # (N=1M, D=1536, k=100): the "should a user use IVF here?" row
+        for nprobe, pre in ((50, f"ivfpk_{lname}_np50"),
+                            (200, f"ivfpk_{lname}_np200"),
+                            (kcl, f"flat_{lname}")):
+            mk.ivf_cfg = dataclasses.replace(mk.ivf_cfg, nprobe=nprobe)
+            ids, _ = mk.search_with_scores(qg, k=100)  # warm + compile
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ids, _ = mk.search_with_scores(qg, k=100)
+                times.append(time.perf_counter() - t0)
+            out[f"{pre}_qps"] = round(nq / min(times), 1)
+            out[f"{pre}_tiles_frac"] = round(
+                mk.last_tiles_scanned / nb_total, 3)
+            for kk in (1, 10, 100):
+                out[f"{pre}_recall{kk}"] = round(recall_at_k(gt, ids, kk), 4)
+        if lname == "saq_bpd2":
+            mk_bpd2 = mk
+        else:
+            del mk
+
+    # batch-size × probe-coherent-grouping sweep (VERDICT r4 missing #2:
+    # find where probing beats dense).  Same index, same k; per-cell QPS,
+    # tile-scan fraction (grouped = Σ_g tiles_g / nb — HBM traffic vs ONE
+    # dense pass), recall@100 vs the batch-restricted GT.
+    if mk_bpd2 is not None and not smoke:
+        for bs in (8, 64, 256):
+            qb = qg[:bs]
+            gtb = gt[:bs]
+            cells = [("flat", kcl, 1), ("np50", 50, 1), ("np200", 200, 1)]
+            if bs >= 64:
+                cells += [("np50", 50, bs // 16), ("np200", 200, bs // 16)]
+            for cname, nprobe, ng in cells:
+                mk_bpd2.ivf_cfg = dataclasses.replace(
+                    mk_bpd2.ivf_cfg, nprobe=nprobe)
+                ids, _ = mk_bpd2.search_with_scores(
+                    qb, k=100, query_groups=ng)  # warm + compile
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    ids, _ = mk_bpd2.search_with_scores(
+                        qb, k=100, query_groups=ng)
+                    times.append(time.perf_counter() - t0)
+                gtag = f"_g{ng}" if ng > 1 else ""
+                pre = f"ivfpk_bs{bs}_{cname}{gtag}"
+                out[f"{pre}_qps"] = round(bs / min(times), 1)
+                out[f"{pre}_tiles_frac"] = round(
+                    mk_bpd2.last_tiles_scanned / nb_total, 3)
+                out[f"{pre}_recall100"] = round(
+                    recall_at_k(gtb, ids, 100), 4)
+        del mk_bpd2
+    del xg, qg
 
 
 def compiled_exactness_assert(jax, jnp, out):
@@ -697,7 +754,27 @@ def main() -> None:
     packed_rabitq_1m(jax, jnp, out, fast)
     ivf_flagship(jax, jnp, out, fast)
 
-    print(json.dumps(out))
+    # Full results → a committed file; stdout's FINAL line stays a COMPACT
+    # headline sized well under the driver's tail-capture window — by
+    # round 4 the one-line dict outgrew it and the round's headline was
+    # lost (BENCH_r04 "parsed": null, VERDICT r4 weak #1).
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SELF.json")
+    with open(self_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"full results ({len(out)} fields) -> {self_path}",
+          file=sys.stderr)
+    compact_keys = (
+        "metric", "value", "unit", "vs_baseline", "value_median",
+        "recall_at_10", "recall_gate_pq192", "assert_ok", "assert_compiled",
+        "saq_packed_qps", "ivfpk_saq_bpd2_np200_qps",
+        "ivfpk_saq_bpd2_np200_recall100", "flat_saq_bpd2_qps",
+        "flat_saq_bpd2_recall100",
+    )
+    compact = {k_: out[k_] for k_ in compact_keys if k_ in out}
+    compact["full_results"] = "BENCH_SELF.json"
+    print(json.dumps(compact))
     if not assert_ok:
         print("FATAL: compiled packed-kernel exactness assert failed",
               file=sys.stderr)
