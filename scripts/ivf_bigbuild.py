@@ -81,8 +81,11 @@ class ClusteredVirtualRows:
 def main():
     _enable_compilation_cache()
     fast = os.environ.get("VQ_FAST", "") == "1"
-    n = 1_048_576 if fast else 10_000_000
+    n = int(os.environ.get("VQ_BIGBUILD_N", 0)) or (
+        1_048_576 if fast else 10_000_000)
     d, kcl = 1024, 4096
+    if n <= 131_072:  # CPU shape-smoke
+        kcl = 256
     x = ClusteredVirtualRows(n, d, kc=kcl)
 
     quant = SAQ(SAQConfig(bits_per_dim=1.0, use_pca=True))
@@ -120,7 +123,7 @@ def main():
         "kmeans_s": round(t_kmeans, 1), "assign_s": round(t_assign, 1),
         "quant_fit_s": round(t_qfit, 1), "encode_install_s": round(t_encode, 1),
     }), flush=True)
-    code_bytes = int(np.asarray(idx.codes_sorted).nbytes)
+    code_bytes = int(idx.codes_sorted.nbytes)  # no device→host transfer
     print(json.dumps({
         "n": n, "d": d, "K": kcl,
         "build_s": round(build_s, 1),
@@ -147,6 +150,57 @@ def main():
         "warm_s": round(warm_s, 1),
         "self_top1": round(top1, 4),
     }), flush=True)
+    del idx
+
+    # ---- probed-tile packed IVF at the SAME 10M build (round-5 task:
+    # the operating point where probing must beat dense — at 10M a dense
+    # packed pass streams ~1.3 GB of bitplanes per batch while nprobe=50
+    # of K=4096 touches ~1.2% of rows; VERDICT r4 missing #2).  Quality
+    # signal: recall@100 against the nprobe=K row, which IS the dense
+    # packed scan over the same codes (tests/test_ivf_packed.py
+    # full-probe equality) — probing's loss is routing loss only.
+    import dataclasses
+
+    from vq_tpu.index.ivf_packed import IvfPackedFlatIndex
+    from vq_tpu.metrics.recall import recall_at_k
+
+    mkp = IvfPackedFlatIndex(
+        SAQ(SAQConfig(bits_per_dim=1.0, use_pca=True)),
+        IVFConfig(num_clusters=kcl, nprobe=50,
+                  kmeans=KMeansConfig(iters=10, max_points_per_centroid=64)),
+    )
+    t0 = time.perf_counter()
+    mkp.fit(x, coarse=(cents, asn))
+    print(json.dumps({
+        "ivfpk_build_s": round(time.perf_counter() - t0, 1),
+        "ivfpk_cache_gb": round(mkp.memory_footprint() / 2**30, 2),
+    }), flush=True)
+    nb = -(-n // 512)
+    for bs in (8, 256):
+        qs = q[:bs]
+        cells = [("flat", kcl, 1), ("np50", 50, 1), ("np200", 200, 1)]
+        if bs >= 64:
+            cells += [("np50_g", 50, bs // 16), ("np200_g", 200, bs // 16)]
+        dense_ids = None
+        for name, np_, ng in cells:
+            mkp.ivf_cfg = dataclasses.replace(mkp.ivf_cfg, nprobe=np_)
+            ids, _ = mkp.search_with_scores(qs, k=100, query_groups=ng)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ids, _ = mkp.search_with_scores(qs, k=100, query_groups=ng)
+                times.append(time.perf_counter() - t0)
+            if name == "flat":
+                dense_ids = ids
+            print(json.dumps({
+                "cell": f"ivfpk_bs{bs}_{name}" + (str(ng) if ng > 1 else ""),
+                "qps": round(bs / min(times), 1),
+                "tiles_frac": round(mkp.last_tiles_scanned / nb, 4),
+                "recall100_vs_dense": round(
+                    recall_at_k(dense_ids, ids, 100), 4),
+                "self_top1": round(float(np.mean(ids[:, 0]
+                                                 == probe_ids[:bs])), 4),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -138,8 +138,18 @@ def run_study_arrays(
             model = build_quantizer(base, d, **params)
             model.fit(x)
             codes = jnp.asarray(model.compress(x))
+            # packed scan cache (norm-ordered, real norms baked in): on a
+            # TPU backend the SAQ/RaBitQ/RankAware rows run the packed
+            # kernel with the NIP norm-envelope prune bound engaged
+            # (kernels/pallas_packed.py) — the same fused path serving
+            # uses; methods without a packed layout return None and take
+            # the XLA scan (reference exact_search.py:4-8 is always the
+            # dense path)
+            cache = model.prepare_scan(codes, norms=norms_d,
+                                       num_queries=len(queries))
             _, ids = model.scan_topk(
-                qd, codes, min(kmax, n), Metric.NIP, norms=norms_d
+                qd, codes, min(kmax, n), Metric.NIP, norms=norms_d,
+                cache=cache,
             )
             recalls = recall_at_ks(gt, np.asarray(ids), ks)
             sample = min(mse_sample, n)

@@ -22,7 +22,7 @@ import numpy as np
 from vq_tpu.core.config import Metric, PQConfig, SearchConfig
 from vq_tpu.dist.mesh import make_mesh, pad_rows_to_multiple, replicate, shard_rows
 from vq_tpu.dist.sharded import sharded_generic_scan_topk, sharded_scan_topk
-from vq_tpu.index.base import BaseSearchIndex
+from vq_tpu.index.base import BaseSearchIndex, nbytes_of
 from vq_tpu.methods.base import BaseQuantizer
 from vq_tpu.methods.pq import PQ
 
@@ -98,9 +98,9 @@ class ShardedFlatPQIndex(BaseSearchIndex):
         total = 0
         for a in (self.codes, self.norms):
             if a is not None:
-                total += int(np.asarray(a).nbytes)
+                total += nbytes_of(a)
         total += sum(
-            np.asarray(p).nbytes for p in jax.tree_util.tree_leaves(self.pq.params)
+            nbytes_of(p) for p in jax.tree_util.tree_leaves(self.pq.params)
         )
         return total
 
@@ -173,9 +173,9 @@ class ShardedFlatIndex(BaseSearchIndex):
         total = 0
         for a in (self.codes, self.norms):
             if a is not None:
-                total += int(np.asarray(a).nbytes)
+                total += nbytes_of(a)
         total += sum(
-            np.asarray(p).nbytes
+            nbytes_of(p)
             for p in jax.tree_util.tree_leaves(self.quantizer.params)
         )
         return total

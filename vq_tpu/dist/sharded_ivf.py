@@ -37,7 +37,7 @@ from vq_tpu.core.config import IVFConfig, Metric, SearchConfig
 from vq_tpu.data.sampling import chunk_rows_for_bytes, host_sample_rows
 from vq_tpu.dist.mesh import DATA_AXIS, make_mesh, replicate, shard_rows
 from vq_tpu.dist.sharded import shard_map
-from vq_tpu.index.base import BaseSearchIndex
+from vq_tpu.index.base import BaseSearchIndex, nbytes_of
 from vq_tpu.index.ivf import (
     _PAD_SLACK,
     chunked_assign,
@@ -254,9 +254,9 @@ class ShardedIVFIndex(BaseSearchIndex):
         total = 0
         for a in (self.codes_sh, self.ids_sh, self.norms_sh, self.centroids):
             if a is not None:
-                total += int(np.asarray(a).nbytes)
+                total += nbytes_of(a)
         total += sum(
-            np.asarray(p).nbytes
+            nbytes_of(p)
             for p in jax.tree_util.tree_leaves(self.quantizer.params)
         )
         return total

@@ -35,7 +35,7 @@ from vq_tpu.core.config import Metric, SearchConfig
 from vq_tpu.data.sampling import chunk_rows_for_bytes
 from vq_tpu.dist.mesh import DATA_AXIS, make_mesh, replicate, shard_rows
 from vq_tpu.dist.sharded import shard_map
-from vq_tpu.index.base import BaseSearchIndex
+from vq_tpu.index.base import BaseSearchIndex, nbytes_of
 from vq_tpu.index.ivf import encode_rows_ordered
 from vq_tpu.kernels.adc import _bf16_supported, _finalize
 from vq_tpu.kernels.pallas_packed import PackedCorpus
@@ -265,9 +265,9 @@ class ShardedPackedFlatIndex(BaseSearchIndex):
         ]
         for a in leaves:
             if a is not None:
-                total += int(np.asarray(a).nbytes)
+                total += nbytes_of(a)
         total += sum(
-            np.asarray(p).nbytes
+            nbytes_of(p)
             for p in jax.tree_util.tree_leaves(self.quantizer.params)
         )
         return total

@@ -55,3 +55,14 @@ class BaseSearchIndex:
             payload = pickle.load(f)
         self._restore(payload["state"])
         return self
+
+
+def nbytes_of(a) -> int:
+    """Size in bytes WITHOUT a device→host transfer: jax arrays report
+    .nbytes locally; only genuinely host-side array-likes lacking it go
+    through np.asarray.  (memory_footprint() at 10M rows over the TPU
+    tunnel was pulling GBs to the host just to read a size.)"""
+    if a is None:
+        return 0
+    n = getattr(a, "nbytes", None)
+    return int(n) if n is not None else int(np.asarray(a).nbytes)

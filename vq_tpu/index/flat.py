@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vq_tpu.core.config import Metric, SearchConfig
-from vq_tpu.index.base import BaseSearchIndex
+from vq_tpu.index.base import BaseSearchIndex, nbytes_of
 from vq_tpu.methods.base import BaseQuantizer
 
 
@@ -71,11 +71,11 @@ class FlatQuantizedIndex(BaseSearchIndex):
         return np.asarray(idx).astype(np.uint32), np.asarray(scores)
 
     def memory_footprint(self) -> int:
-        codes_b = int(np.asarray(self.codes).nbytes) if self.codes is not None else 0
+        codes_b = nbytes_of(self.codes)
         params_b = sum(
-            np.asarray(p).nbytes for p in jax.tree_util.tree_leaves(self.quantizer.params)
+            nbytes_of(p) for p in jax.tree_util.tree_leaves(self.quantizer.params)
         )
-        norms_b = int(np.asarray(self.norms).nbytes) if self.norms is not None else 0
+        norms_b = nbytes_of(self.norms)
         return codes_b + params_b + norms_b
 
     def reconstruction_mse(self, X: np.ndarray, sample: Optional[int] = 10000) -> float:

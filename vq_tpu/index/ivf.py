@@ -47,7 +47,7 @@ import numpy as np
 
 from vq_tpu.core.config import IVFConfig, Metric, SearchConfig
 from vq_tpu.data.sampling import chunk_rows_for_bytes, host_sample_rows
-from vq_tpu.index.base import BaseSearchIndex
+from vq_tpu.index.base import BaseSearchIndex, nbytes_of
 from vq_tpu.kernels.kmeans import assign, kmeans, pairwise_sqdist_xc
 from vq_tpu.methods.base import BaseQuantizer
 
@@ -754,9 +754,9 @@ class IvfQuantizedIndex(BaseSearchIndex):
         for a in (self.codes_sorted, self.ids_sorted, self.norms_sorted,
                   self.centroids, self.offsets, self.sizes):
             if a is not None:
-                total += int(np.asarray(a).nbytes)
+                total += nbytes_of(a)
         total += sum(
-            np.asarray(p).nbytes for p in jax.tree_util.tree_leaves(self.quantizer.params)
+            nbytes_of(p) for p in jax.tree_util.tree_leaves(self.quantizer.params)
         )
         return total
 

@@ -55,7 +55,7 @@ import numpy as np
 
 from vq_tpu.core.config import IVFConfig, Metric, SearchConfig
 from vq_tpu.data.sampling import chunk_rows_for_bytes, host_sample_rows
-from vq_tpu.index.base import BaseSearchIndex
+from vq_tpu.index.base import BaseSearchIndex, nbytes_of
 from vq_tpu.index.ivf import chunked_assign, encode_rows_ordered
 from vq_tpu.kernels.adc import _bf16_supported, _finalize
 from vq_tpu.kernels.kmeans import kmeans, pairwise_sqdist_xc
@@ -256,9 +256,9 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         ]
         for a in leaves:
             if a is not None:
-                total += int(np.asarray(a).nbytes)
+                total += nbytes_of(a)
         total += sum(
-            np.asarray(p).nbytes
+            nbytes_of(p)
             for p in jax.tree_util.tree_leaves(self.quantizer.params)
         )
         return total
