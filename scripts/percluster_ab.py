@@ -45,6 +45,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ivf_scan_ablate import gen_gate  # noqa: E402
 
 
+def _pad_cycle(rows: np.ndarray, bucket: int) -> np.ndarray:
+    """Cycle rows up to a pow2 bucket size: per-cluster fits/encodes then
+    hit only ~log2 distinct jit shapes instead of one compile PER CLUSTER
+    (each tunnel compile is 20-60 s; K=64 unbucketed shapes would burn
+    hours).  Full-cycle copies preserve every fit statistic; the partial
+    tail double-weights ≤ half the rows (measurement-only path)."""
+    reps = -(-bucket // len(rows))
+    return np.tile(rows, (reps,) + (1,) * (rows.ndim - 1))[:bucket]
+
+
 def per_cluster_search(x, q, gt, kcl, nprobe, make_quant, kq=100):
     """Reference-style per-cluster-quantizer IVF: fit one quantizer per
     cluster, search by decompress + exact rescoring of probed lists."""
@@ -56,7 +66,7 @@ def per_cluster_search(x, q, gt, kcl, nprobe, make_quant, kq=100):
     x_np = np.asarray(x)
 
     # fit + encode + decode per cluster (reference ivf_quantized_index
-    # fit:45-84 semantics)
+    # fit:45-84 semantics); shapes pow2-bucketed to bound tunnel compiles
     recon = np.empty_like(x_np)
     t0 = time.perf_counter()
     for c in range(kcl):
@@ -64,12 +74,15 @@ def per_cluster_search(x, q, gt, kcl, nprobe, make_quant, kq=100):
         if len(rows) == 0:
             continue
         res = x_np[rows] - cents_np[c]
+        bucket = 1 << int(np.ceil(np.log2(max(2, len(rows)))))
         quant = make_quant()
-        quant.fit(res)
-        recon[rows] = quant.decompress(quant.compress(res)) + cents_np[c]
+        quant.fit(_pad_cycle(res, bucket))
+        rec_p = quant.decompress(quant.compress(_pad_cycle(res, bucket)))
+        recon[rows] = rec_p[: len(rows)] + cents_np[c]
     fit_s = time.perf_counter() - t0
 
-    # probed exact search over per-cluster reconstructions
+    # probed exact search over per-cluster reconstructions (candidate
+    # lists pow2-bucketed too; pad slots masked to +inf distance)
     qn = np.asarray(q)
     cd = np.asarray(
         jnp.sum((jnp.asarray(qn)[:, None, :] - cents[None]) ** 2, axis=-1)
@@ -77,12 +90,18 @@ def per_cluster_search(x, q, gt, kcl, nprobe, make_quant, kq=100):
     probes = np.argsort(cd, axis=1)[:, :nprobe]
     ids = np.zeros((len(qn), kq), np.int64)
     recon_j = jnp.asarray(recon)
+
+    @jax.jit
+    def cand_dists(cand_idx, qi):
+        return jnp.sum((recon_j[cand_idx] - qi[None]) ** 2, axis=-1)
+
     for i in range(len(qn)):
         cand = np.concatenate([np.nonzero(asn == c)[0] for c in probes[i]])
-        dc = np.asarray(jnp.sum(
-            (recon_j[jnp.asarray(cand)] - jnp.asarray(qn[i])[None]) ** 2,
-            axis=-1))
-        ids[i] = cand[np.argsort(dc)[:kq]]
+        bucket = 1 << int(np.ceil(np.log2(max(2, len(cand)))))
+        dc = np.array(cand_dists(jnp.asarray(_pad_cycle(cand, bucket)),
+                                 jnp.asarray(qn[i])))
+        dc[len(cand):] = np.inf
+        ids[i] = _pad_cycle(cand, bucket)[np.argsort(dc)[:kq]]
     return ids, fit_s
 
 
