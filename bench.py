@@ -712,6 +712,38 @@ def compiled_exactness_assert(jax, jnp, out):
             checks.append(f"saq/nip_prune:{same}")
             ok = ok and same
 
+    # tile-GATHER masked scan (round 5: scalar-prefetch tile-id
+    # indirection — masked-out tiles are never DMA'd).  All-ones mask must
+    # be bit-identical to the unmasked scan (validates the indirected DMA
+    # end-to-end in compiled mode); a partial mask must match the same
+    # call in interpret mode (the semantic reference for Mosaic).
+    m2 = saq_mod.SAQ(SAQConfig(bits_per_dim=2.0, codebook="uniform"))
+    m2.fit(x)
+    codes2 = jnp.asarray(m2.compress(x))
+    cache2 = m2.prepare_tile_cache(codes2, norms=norms, num_queries=nq)
+    if cache2 is not None:
+        nb2 = cache2.factors.shape[0] // 512
+        ones = jnp.ones((nb2,), jnp.int32)
+        part = (jnp.arange(nb2) % 3 == 0).astype(jnp.int32)
+        s_um, i_um = m2.packed_scan_raw(
+            jnp.asarray(q), cache2, k, Metric.L2, use_bf16=False,
+            interpret=not on_tpu)
+        s_m1, i_m1 = m2.packed_scan_raw(
+            jnp.asarray(q), cache2, k, Metric.L2, use_bf16=False,
+            interpret=not on_tpu, tile_mask=ones)
+        same = bool(np.array_equal(np.asarray(i_m1), np.asarray(i_um)))
+        checks.append(f"gather/full:{same}")
+        ok = ok and same
+        s_mp, i_mp = m2.packed_scan_raw(
+            jnp.asarray(q), cache2, k, Metric.L2, use_bf16=False,
+            interpret=not on_tpu, tile_mask=part)
+        s_mi, i_mi = m2.packed_scan_raw(
+            jnp.asarray(q), cache2, k, Metric.L2, use_bf16=False,
+            interpret=True, tile_mask=part)
+        same = bool(np.array_equal(np.asarray(i_mp), np.asarray(i_mi)))
+        checks.append(f"gather/partial:{same}")
+        ok = ok and same
+
     # B=2 (shared-table select-sum) and B=8 (f32 value plane)
     for bits in (2, 8):
         mb = rb_mod.RaBitQ(RaBitQConfig(num_bits=bits))

@@ -154,6 +154,15 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         k_cl = int(self.centroids.shape[0])
         use_bf16 = self.search_cfg.use_bf16 and _bf16_supported()
         interp = jax.default_backend() != "tpu"
+        nb = -(-self.num_rows // _TILE)
+        # static short-grid cap for the gather kernel: a coherence-aware
+        # estimate of one mask's tile budget (~4× the perfectly-coherent
+        # nprobe span); overflow falls back to the full grid inside the
+        # kernel wrapper (exact either way)
+        tiles_per_cl = self.num_rows // (k_cl * _TILE) + 1
+
+        def _cap(np_):
+            return int(min(nb, 4 * np_ * tiles_per_cl + 64))
 
         @functools.partial(jax.jit, static_argnames=("kk", "np_", "ng"))
         def run(q, centroids, cache, ids_sorted, cl_first, cl_last,
@@ -187,7 +196,7 @@ class IvfPackedFlatIndex(BaseSearchIndex):
                 mask = (hi - lo > 0).astype(jnp.int32)  # (nb,)
                 s, pos = quantizer.packed_scan_raw(
                     qb, cache, kk, metric, use_bf16=use_bf16,
-                    interpret=interp, tile_mask=mask,
+                    interpret=interp, tile_mask=mask, mask_cap=_cap(np_),
                 )
                 return s, pos, jnp.sum(mask)
 

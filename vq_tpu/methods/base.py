@@ -116,14 +116,17 @@ class BaseQuantizer:
         return None
 
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
-                        use_bf16=True, interpret=False, tile_mask=None):
+                        use_bf16=True, interpret=False, tile_mask=None,
+                        mask_cap=None):
         """Maximize-form (scores, SCAN-POSITION ids) over a PackedCorpus —
         the raw kernel entry the sharded path calls per shard under
         shard_map.  The caller owns perm mapping, pad masking (num_valid)
         and metric finalization.  tile_mask (N/512,) i32 restricts the
-        scan to masked-in tiles (the IVF probed-tile path,
-        index/ivf_packed.py).  Only required when prepare_shard_cache or
-        prepare_tile_cache returns a cache."""
+        scan to masked-in tiles — no DMA or compute for masked-out tiles
+        (the IVF probed-tile path, index/ivf_packed.py); mask_cap is the
+        optional static short-grid cap (kernels/pallas_packed.py).  Only
+        required when prepare_shard_cache or prepare_tile_cache returns a
+        cache."""
         raise NotImplementedError
 
     def prepare_tile_cache(self, codes, norms=None, num_queries=8):

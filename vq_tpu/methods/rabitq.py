@@ -229,7 +229,7 @@ def prepare_packed(
 
 def _packed_scan(params, queries, packed, k, metric, num_bits,
                  num_valid=None, interpret=False, use_bf16=True,
-                 prune=False, tile_mask=None):
+                 prune=False, tile_mask=None, mask_cap=None):
     from vq_tpu.kernels.pallas_packed import packed_scan_topk
 
     d = params.centroid.shape[0]
@@ -265,7 +265,7 @@ def _packed_scan(params, queries, packed, k, metric, num_bits,
         limit=limit, interpret=interpret,
         use_bf16=use_bf16, prune=prune,
         tile_stats=packed.tile_stats if prune else None, qprune=qprune,
-        tile_mask=tile_mask,
+        tile_mask=tile_mask, mask_cap=mask_cap,
     )
 
 
@@ -460,12 +460,13 @@ class RaBitQ(BaseQuantizer):
                                         num_queries=num_queries)
 
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
-                        use_bf16=True, interpret=False, tile_mask=None):
+                        use_bf16=True, interpret=False, tile_mask=None,
+                        mask_cap=None):
         prune = packed.tile_stats is not None and packed.prune_hint
         out = _packed_scan(
             self.params, queries, packed, k, metric, self.cfg.num_bits,
             num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
-            prune=prune, tile_mask=tile_mask,
+            prune=prune, tile_mask=tile_mask, mask_cap=mask_cap,
         )
         return out[0], out[1]
 

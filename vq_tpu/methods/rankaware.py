@@ -300,7 +300,7 @@ def prepare_packed(params, bits, layout, codes, packing: str,
 
 def _packed_scan(params, bits, queries, packed, k, metric,
                  num_valid=None, interpret=False, use_bf16=True,
-                 prune=False, tile_mask=None):
+                 prune=False, tile_mask=None, mask_cap=None):
     from vq_tpu.kernels.pallas_packed import packed_scan_topk
 
     segs, lv_tables, dim_slices = _packed_segspecs(params, bits)
@@ -337,7 +337,7 @@ def _packed_scan(params, bits, queries, packed, k, metric,
         r2_cols=tuple(range(s_cnt)), limit=limit,
         interpret=interpret, use_bf16=use_bf16, prune=prune,
         tile_stats=packed.tile_stats if prune else None, qprune=qprune,
-        tile_mask=tile_mask,
+        tile_mask=tile_mask, mask_cap=mask_cap,
     )
 
 
@@ -418,12 +418,13 @@ class RankAware(BaseQuantizer):
                                         num_queries=num_queries)
 
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
-                        use_bf16=True, interpret=False, tile_mask=None):
+                        use_bf16=True, interpret=False, tile_mask=None,
+                        mask_cap=None):
         prune = packed.tile_stats is not None and packed.prune_hint
         out = _packed_scan(
             self.params, self.bits, queries, packed, k, metric,
             num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
-            prune=prune, tile_mask=tile_mask,
+            prune=prune, tile_mask=tile_mask, mask_cap=mask_cap,
         )
         return out[0], out[1]
 

@@ -728,7 +728,7 @@ def _packed_query_side(plan, params, queries, seg_ids):
 
 def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
                  seg_ids=None, num_valid=None, interpret=False,
-                 use_bf16=True, prune=False, tile_mask=None):
+                 use_bf16=True, prune=False, tile_mask=None, mask_cap=None):
     """Run the fused packed kernel over (a segment subset of) the corpus.
 
     Returns maximize-form (scores, ids) — callers finalize.  seg_ids selects
@@ -778,7 +778,7 @@ def _packed_scan(plan, params, queries, packed: PackedCorpus, k, metric,
         r2_cols=tuple(s_cnt + s for s in seg_ids),
         limit=limit, interpret=interpret, use_bf16=use_bf16,
         prune=prune, tile_stats=packed.tile_stats if prune else None,
-        qprune=qprune, tile_mask=tile_mask,
+        qprune=qprune, tile_mask=tile_mask, mask_cap=mask_cap,
     )
 
 
@@ -1134,12 +1134,13 @@ class SAQ(BaseQuantizer):
                               norms=norms, sort_rows=False)
 
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
-                        use_bf16=True, interpret=False, tile_mask=None):
+                        use_bf16=True, interpret=False, tile_mask=None,
+                        mask_cap=None):
         prune = packed.tile_stats is not None and packed.prune_hint
         out = _packed_scan(
             self.plan, self.params, queries, packed, k, metric,
             num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
-            prune=prune, tile_mask=tile_mask,
+            prune=prune, tile_mask=tile_mask, mask_cap=mask_cap,
         )
         return out[0], out[1]
 
