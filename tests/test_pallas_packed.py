@@ -494,3 +494,53 @@ def test_saq_sorted_cache_matches_unsorted():
             use_packed=True, interpret=True, packed_cache=srt,
             num_valid=jnp.int32(100),
         )
+
+
+def test_tile_gather_mask_matches_restricted_scan():
+    """The gather-compacted tile mask (scalar-prefetch indirection): a
+    partial mask must equal a brute scan restricted to masked-in rows,
+    an all-ones mask must equal the unmasked scan, and the static
+    mask_cap short grid must be exact both under and over the cap."""
+    rng = np.random.default_rng(11)
+    m, x, codes = _mk_saq(rng, n=4096)
+    q = jnp.asarray(rng.standard_normal((8, x.shape[1])).astype(np.float32))
+    cache = m.prepare_tile_cache(codes, num_queries=8)
+    if cache is None:  # tiny-geometry gate refused the packed layout
+        cache = saq_mod.prepare_packed(m.plan, m.params, codes,
+                                       sort_rows=False)
+    nb = cache.factors.shape[0] // 512
+    assert nb >= 4
+
+    s_um, i_um = m.packed_scan_raw(q, cache, 6, Metric.L2,
+                                   use_bf16=False, interpret=True)
+    ones = jnp.ones((nb,), jnp.int32)
+    s_m1, i_m1 = m.packed_scan_raw(q, cache, 6, Metric.L2, use_bf16=False,
+                                   interpret=True, tile_mask=ones)
+    np.testing.assert_array_equal(np.asarray(i_m1), np.asarray(i_um))
+
+    mask = (jnp.arange(nb) % 3 == 1).astype(jnp.int32)
+    s_mp, i_mp = m.packed_scan_raw(q, cache, 6, Metric.L2, use_bf16=False,
+                                   interpret=True, tile_mask=mask)
+    # brute reference over exactly the masked-in rows
+    rec = m.decompress(np.asarray(codes))
+    rows = np.concatenate([np.arange(t * 512, (t + 1) * 512)
+                           for t in np.nonzero(np.asarray(mask))[0]])
+    rows = rows[rows < x.shape[0]]
+    d2 = ((np.asarray(q)[:, None, :] - rec[None, rows, :]) ** 2).sum(-1)
+    ref_ids = rows[np.argsort(d2, axis=1)[:, :6]]
+    # raw maximize-form omits the query-constant −‖q‖² (callers finalize)
+    q_sq = (np.asarray(q) ** 2).sum(-1, keepdims=True)
+    ref_s = q_sq - np.sort(d2, axis=1)[:, :6]
+    np.testing.assert_allclose(np.asarray(s_mp), ref_s, rtol=1e-3,
+                               atol=1e-3)
+    tied = np.isclose(np.asarray(s_mp), ref_s, rtol=1e-4, atol=1e-4)
+    assert np.all((np.asarray(i_mp) == ref_ids) | tied)
+
+    # mask_cap: under the cap (short grid) and over it (full fallback)
+    for cap in (int(np.asarray(mask).sum()) + 1, 2):
+        s_c, i_c = m.packed_scan_raw(q, cache, 6, Metric.L2, use_bf16=False,
+                                     interpret=True, tile_mask=mask,
+                                     mask_cap=cap)
+        np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_mp))
+        np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_mp),
+                                   rtol=1e-5)
