@@ -628,8 +628,8 @@ def ivf_flagship(jax, jnp, out, fast):
     # find where probing beats dense).  Same index, same k; per-cell QPS,
     # tile-scan fraction (grouped = Σ_g tiles_g / nb — HBM traffic vs ONE
     # dense pass), recall@100 vs the batch-restricted GT.
-    if mk_bpd2 is not None and not smoke:
-        for bs in (8, 64, 256):
+    if mk_bpd2 is not None:
+        for bs in ((8,) if smoke else (8, 64, 256)):
             qb = qg[:bs]
             gtb = gt[:bs]
             cells = [("flat", kcl, 1), ("np50", 50, 1), ("np200", 200, 1)]
