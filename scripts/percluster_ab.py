@@ -124,30 +124,43 @@ def main():
         ("saq_bpd2", lambda: SAQ(SAQConfig(bits_per_dim=2.0, use_pca=True))),
     ]
     for name, make in configs:
-        # shared (the vq_tpu design)
-        idx = IvfQuantizedIndex(
-            make(),
-            IVFConfig(num_clusters=kcl, nprobe=nprobe,
-                      kmeans=KMeansConfig(iters=10,
-                                          max_points_per_centroid=64)),
-        )
-        t0 = time.perf_counter()
-        idx.fit(x)
-        shared_fit_s = time.perf_counter() - t0
-        ids_s, _ = idx.search_with_scores(q, k=100)
-        row = {"config": name, "K": kcl, "nprobe": nprobe, "n": n,
-               "shared_fit_s": round(shared_fit_s, 1)}
-        for kk in (1, 10, 100):
-            row[f"shared_recall{kk}"] = round(recall_at_k(gt, ids_s, kk), 4)
+        # each config prints its shared leg IMMEDIATELY and isolates
+        # errors — a transient tunnel RPC flake (CLAUDE.md) mid-way
+        # through the measurement-only per-cluster leg must not lose the
+        # whole run's output (it did on 2026-08-21: broken pipe at the
+        # candidate-scoring step, zero rows recorded)
+        try:
+            # shared (the vq_tpu design)
+            idx = IvfQuantizedIndex(
+                make(),
+                IVFConfig(num_clusters=kcl, nprobe=nprobe,
+                          kmeans=KMeansConfig(iters=10,
+                                              max_points_per_centroid=64)),
+            )
+            t0 = time.perf_counter()
+            idx.fit(x)
+            shared_fit_s = time.perf_counter() - t0
+            ids_s, _ = idx.search_with_scores(q, k=100)
+            row = {"config": name, "K": kcl, "nprobe": nprobe, "n": n,
+                   "shared_fit_s": round(shared_fit_s, 1)}
+            for kk in (1, 10, 100):
+                row[f"shared_recall{kk}"] = round(
+                    recall_at_k(gt, ids_s, kk), 4)
+            print(json.dumps({"partial": row}), flush=True)
+            del idx
 
-        # per-cluster (the reference design)
-        ids_p, pc_fit_s = per_cluster_search(x, q, gt, kcl, nprobe, make)
-        row["percluster_fit_s"] = round(pc_fit_s, 1)
-        for kk in (1, 10, 100):
-            row[f"percluster_recall{kk}"] = round(
-                recall_at_k(gt, ids_p, kk), 4)
-        print(json.dumps(row), flush=True)
-        del idx
+            # per-cluster (the reference design)
+            ids_p, pc_fit_s = per_cluster_search(x, q, gt, kcl, nprobe,
+                                                 make)
+            row["percluster_fit_s"] = round(pc_fit_s, 1)
+            for kk in (1, 10, 100):
+                row[f"percluster_recall{kk}"] = round(
+                    recall_at_k(gt, ids_p, kk), 4)
+            print(json.dumps(row), flush=True)
+        except Exception as e:  # per-config isolation
+            print(json.dumps({"config": name,
+                              "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
 
 
 if __name__ == "__main__":
