@@ -743,6 +743,18 @@ def compiled_exactness_assert(jax, jnp, out):
         same = bool(np.array_equal(np.asarray(i_mp), np.asarray(i_mi)))
         checks.append(f"gather/partial:{same}")
         ok = ok and same
+        # k ≥ 32 routes through the merge-fold (hit-gated extraction +
+        # bitonic merge, round 5) — compiled ids must match the XLA
+        # fallback at large k too
+        s_mf, i_mf = m2.packed_scan_raw(
+            jnp.asarray(q), cache2, 64, Metric.L2, use_bf16=False,
+            interpret=not on_tpu)
+        s_xr, i_xr = saq_mod.scan_topk(
+            m2.plan, m2.params, jnp.asarray(q), codes2, 64, Metric.L2,
+            use_bf16=False, use_packed=False)
+        same = bool(np.array_equal(np.asarray(i_mf), np.asarray(i_xr)))
+        checks.append(f"mergefold/k64:{same}")
+        ok = ok and same
 
     # B=2 (shared-table select-sum) and B=8 (f32 value plane)
     for bits in (2, 8):

@@ -544,3 +544,42 @@ def test_tile_gather_mask_matches_restricted_scan():
         np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_mp))
         np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_mp),
                                    rtol=1e-5)
+
+
+def test_merge_fold_large_k_matches_xla_scan():
+    """k >= 32 routes through fold_running_topk_merge (hit-gated
+    extraction + bitonic merge) — ids must stay bit-identical to the
+    XLA fallback, including across many tiles and with a tile mask."""
+    rng = np.random.default_rng(12)
+    m, x, codes = _mk_saq(rng, n=4096)
+    q = jnp.asarray(rng.standard_normal((16, x.shape[1])).astype(np.float32))
+    norms = jnp.linalg.norm(jnp.asarray(x), axis=-1)
+    for k in (32, 64, 100):
+        s_ref, i_ref = saq_mod.scan_topk(
+            m.plan, m.params, q, codes, k, Metric.L2, norms=norms,
+            use_bf16=False, use_packed=False,
+        )
+        s_pk, i_pk = saq_mod.scan_topk(
+            m.plan, m.params, q, codes, k, Metric.L2, norms=norms,
+            use_bf16=False, use_packed=True, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    # masked path at large k (gather + merge-fold compose)
+    cache = saq_mod.prepare_packed(m.plan, m.params, codes, sort_rows=False)
+    nb = cache.factors.shape[0] // 512
+    mask = (jnp.arange(nb) % 2 == 0).astype(jnp.int32)
+    s_mp, i_mp = m.packed_scan_raw(q, cache, 64, Metric.L2, use_bf16=False,
+                                   interpret=True, tile_mask=mask)
+    rec = m.decompress(np.asarray(codes))
+    rows = np.concatenate([np.arange(t * 512, (t + 1) * 512)
+                           for t in np.nonzero(np.asarray(mask))[0]])
+    d2 = ((np.asarray(q)[:, None, :] - rec[None, rows, :]) ** 2).sum(-1)
+    ref_ids = rows[np.argsort(d2, axis=1)[:, :64]]
+    q_sq = (np.asarray(q) ** 2).sum(-1, keepdims=True)
+    ref_s = q_sq - np.sort(d2, axis=1)[:, :64]
+    np.testing.assert_allclose(np.asarray(s_mp), ref_s, rtol=1e-3, atol=1e-3)
+    tied = np.isclose(np.asarray(s_mp), ref_s, rtol=1e-4, atol=1e-4)
+    assert np.all((np.asarray(i_mp) == ref_ids) | tied)

@@ -120,7 +120,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vq_tpu.kernels.pallas_scan import _KPAD, fold_running_topk
+from vq_tpu.kernels.pallas_scan import (
+    _KPAD,
+    fold_running_topk,
+    fold_running_topk_merge,
+)
 
 
 def _b_eff(bits: int) -> int:
@@ -392,9 +396,11 @@ def _packed_kernel(
     lv_refs = rest[pos + len(segs) : pos + len(segs) + n_lv]
     tail = rest[pos + len(segs) + n_lv :]
     if prune:
-        outs_ref, outi_ref, outn_ref, run_s_ref, run_i_ref, cnt_ref = tail
+        (outs_ref, outi_ref, outn_ref, run_s_ref, run_i_ref, top_s_ref,
+         top_i_ref, cnt_ref) = tail
     else:
-        outs_ref, outi_ref, run_s_ref, run_i_ref = tail
+        (outs_ref, outi_ref, run_s_ref, run_i_ref, top_s_ref,
+         top_i_ref) = tail
     f32 = jnp.float32
     step = pl.program_id(0)
     # tid: the GLOBAL tile this step scores.  Dense grid: tid == step.
@@ -507,7 +513,14 @@ def _packed_kernel(
         start = tid * tile
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (num_q, tile), 1) + start
         s = jnp.where(col_ids < limit_ref[0], s, -jnp.inf)
-        fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
+        # merge-fold amortizes large k (hit-gated extraction + bitonic
+        # merge); the k-round extraction stays cheaper below its fixed
+        # overhead (see fold_running_topk_merge docstring)
+        if k >= 32:
+            fold_running_topk_merge(run_s_ref, run_i_ref, s, col_ids, k,
+                                    top_s_ref, top_i_ref)
+        else:
+            fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
 
     if prune or masked:
         pl.when(go)(_scan_tile)
@@ -667,6 +680,8 @@ def packed_scan_topk(
     scratch = [
         pltpu.VMEM((num_q, _KPAD), f32),
         pltpu.VMEM((num_q, _KPAD), jnp.int32),
+        pltpu.VMEM((num_q, _KPAD), f32),  # merge-fold tile-top scores
+        pltpu.VMEM((num_q, _KPAD), jnp.int32),  # merge-fold tile-top ids
     ]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [lim]
