@@ -48,6 +48,8 @@ def _saq_53m(jax, jnp, gen_chunk, n, nq, d, k, chunk, sigma) -> None:
     from vq_tpu.kernels.pallas_packed import PackedCorpus
     from vq_tpu.methods import saq as saq_mod
 
+    import functools
+
     cfg = SAQConfig(bits_per_dim=1.0, allocator="uniform", use_pca=True)
     t0 = time.perf_counter()
     plan, params = saq_mod.fit(jax.random.PRNGKey(0), gen_chunk(0, chunk),
@@ -56,28 +58,49 @@ def _saq_53m(jax, jnp, gen_chunk, n, nq, d, k, chunk, sigma) -> None:
 
     enc = jax.jit(lambda x: saq_mod.encode(plan, params, x))
     t0 = time.perf_counter()
-    w_parts, f_parts, s_parts = [], [], []
+    # Preallocate the full packed planes and fill them IN PLACE (buffer
+    # donation): the previous accumulate-then-concatenate held all chunk
+    # parts AND the concatenated result live — 2× the 6.8 GB 1-bit word
+    # planes at 53M rows, measured RESOURCE_EXHAUSTED on the round-5 run.
+    n_pad = -(-n // 512) * 512
+    first = saq_mod.prepare_packed(plan, params, enc(gen_chunk(0, chunk)))
+    s_cnt = plan.num_segments
+    u_list = [chunk // first.words[s].shape[0] for s in range(s_cnt)]
+    words_bufs = [
+        jnp.zeros((n_pad // u_list[s],) + first.words[s].shape[1:],
+                  first.words[s].dtype)
+        for s in range(s_cnt)
+    ]
+    fac_buf = jnp.zeros((n_pad,) + first.factors.shape[1:],
+                        first.factors.dtype)
+    stats_buf = jnp.zeros((n_pad // 512,) + first.tile_stats.shape[1:],
+                          first.tile_stats.dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def put(buf, part, off):
+        # off is a traced scalar: one compile per buffer shape, not per
+        # chunk offset
+        return jax.lax.dynamic_update_slice_in_dim(buf, part, off, 0)
+
     last_x = None
     for i0 in range(0, n, chunk):
         x = gen_chunk(i0, min(chunk, n - i0))
-        codes_c = enc(x)
-        pc = saq_mod.prepare_packed(plan, params, codes_c)
-        w_parts.append(pc.words)
-        f_parts.append(pc.factors)
-        s_parts.append(pc.tile_stats)
+        pc = first if i0 == 0 else saq_mod.prepare_packed(
+            plan, params, enc(x))
+        for s in range(s_cnt):
+            words_bufs[s] = put(words_bufs[s], pc.words[s],
+                                i0 // u_list[s])
+        fac_buf = put(fac_buf, pc.factors, i0)
+        stats_buf = put(stats_buf, pc.tile_stats, i0 // 512)
         last_x, last_i0 = x, i0
-        del codes_c, pc  # byte rows freed per chunk — the 53M enabler
-    s_cnt = plan.num_segments
-    words = tuple(
-        jnp.concatenate([wp[s] for wp in w_parts]) for s in range(s_cnt)
-    )
-    factors = jnp.concatenate(f_parts)
-    stats = jnp.concatenate(s_parts)
-    del w_parts, f_parts, s_parts
+        del pc  # byte rows freed per chunk — the 53M enabler
+    first = None
+    words = tuple(words_bufs)
+    factors = fac_buf
     cache = PackedCorpus(
-        words=words, factors=factors, num_rows=n, tile_stats=stats,
+        words=words, factors=factors, num_rows=n, tile_stats=stats_buf,
         has_norms=False,
-        prune_hint=saq_mod.prune_hint_from_stats(stats),
+        prune_hint=saq_mod.prune_hint_from_stats(stats_buf),
     )
     factors.block_until_ready()
     t_encode = time.perf_counter() - t0
