@@ -55,8 +55,11 @@ def main() -> None:
     _, gt = exact_topk(q, x, k=kmax, metric=Metric.NIP, norms=norms)
     gt = np.asarray(gt)
 
+    # bpd {1, 4, 8} mirror the reference study table's comparison points
+    # (results_full_20260612_235308.csv: pq/ours/saq_paper at 1/4/8)
     grid = [("pq", 1.0), ("saq_paper", 1.0), ("saq_paper", 2.0),
-            ("saq_paper", 4.0), ("ours", 2.0)]
+            ("saq_paper", 4.0), ("saq_paper", 8.0), ("ours", 2.0),
+            ("ours", 4.0)]
     if fast:
         grid = [("saq_paper", 2.0)]
     xs_fit = x[:131_072]
