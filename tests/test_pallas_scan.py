@@ -114,3 +114,19 @@ def test_pallas_availability_gate():
     # batch would blow the 12 MB budget even on TPU
     vmem_needed = 8192 * 4096 * 2
     assert vmem_needed > 12 * 1024 * 1024  # sanity of the gate's math
+
+
+def test_pq_fused_large_k_merge_fold():
+    """k >= 32 routes the PQ kernel through fold_running_topk_merge —
+    scores AND ids must equal lax.top_k over the full score matrix
+    (same tie order), like the k<32 fused path."""
+    queries, codes, cb = _setup(n=4096, seed=9)
+    for k in (32, 64, 100):
+        ts, ti = pq_scan_topk_fused(queries, codes, cb, k=k, tile=256,
+                                    l2=True, interpret=True)
+        s_full = pq_score_all(queries, codes, cb, tile=256, l2=True,
+                              interpret=True)
+        rs, ri = jax.lax.top_k(s_full, k)
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(rs),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))

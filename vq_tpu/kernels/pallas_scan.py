@@ -278,7 +278,8 @@ def fold_running_topk_merge(run_s_ref, run_i_ref, s, col_ids, k,
 
 
 def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
-                      dec_ref, run_s_ref, run_i_ref, *, num_sub, k_size, dsub,
+                      dec_ref, run_s_ref, run_i_ref, top_s_ref, top_i_ref,
+                      *, num_sub, k_size, dsub,
                       tile, k, nb, l2: bool, group: int = 1):
     """One grid step: decode `tile` rows, score against all queries, and fold
     the tile into a RUNNING exact top-k kept in VMEM scratch (iterative
@@ -313,7 +314,11 @@ def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (num_q, tile), 1) + start
     s = jnp.where(col_ids < limit_ref[0], s, -jnp.inf)
 
-    fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
+    if k >= 32:  # merge-fold amortizes large k (see its docstring)
+        fold_running_topk_merge(run_s_ref, run_i_ref, s, col_ids, k,
+                                top_s_ref, top_i_ref)
+    else:
+        fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
 
     @pl.when(step == nb - 1)
     def _emit():
@@ -381,6 +386,8 @@ def pq_scan_topk_fused(
         scratch_shapes=[
             pltpu.VMEM((tile, num_sub * dsub), jnp.bfloat16),
             pltpu.VMEM((num_q, _KPAD), jnp.float32),
+            pltpu.VMEM((num_q, _KPAD), jnp.int32),
+            pltpu.VMEM((num_q, _KPAD), jnp.float32),  # merge-fold tile-top
             pltpu.VMEM((num_q, _KPAD), jnp.int32),
         ],
         interpret=interpret,
