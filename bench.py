@@ -608,13 +608,11 @@ def ivf_flagship(jax, jnp, out, fast):
                             (200, f"ivfpk_{lname}_np200"),
                             (kcl, f"flat_{lname}")):
             mk.ivf_cfg = dataclasses.replace(mk.ivf_cfg, nprobe=nprobe)
-            ids, _ = mk.search_with_scores(qg, k=100)  # warm + compile
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                ids, _ = mk.search_with_scores(qg, k=100)
-                times.append(time.perf_counter() - t0)
-            out[f"{pre}_qps"] = round(nq / min(times), 1)
+            ids, _ = mk.search_with_scores(qg, k=100)
+            # sustained in-jit reps — single-dispatch wall time measures
+            # tunnel jitter, not the kernel (CLAUDE.md)
+            wall = mk.sustained_search_s(qg, k=100, reps=3)
+            out[f"{pre}_qps"] = round(nq / wall, 1)
             out[f"{pre}_tiles_frac"] = round(
                 mk.last_tiles_scanned / nb_total, 3)
             for kk in (1, 10, 100):
@@ -639,16 +637,12 @@ def ivf_flagship(jax, jnp, out, fast):
                 mk_bpd2.ivf_cfg = dataclasses.replace(
                     mk_bpd2.ivf_cfg, nprobe=nprobe)
                 ids, _ = mk_bpd2.search_with_scores(
-                    qb, k=100, query_groups=ng)  # warm + compile
-                times = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    ids, _ = mk_bpd2.search_with_scores(
-                        qb, k=100, query_groups=ng)
-                    times.append(time.perf_counter() - t0)
+                    qb, k=100, query_groups=ng)
+                wall = mk_bpd2.sustained_search_s(
+                    qb, k=100, query_groups=ng, reps=3)
                 gtag = f"_g{ng}" if ng > 1 else ""
                 pre = f"ivfpk_bs{bs}_{cname}{gtag}"
-                out[f"{pre}_qps"] = round(bs / min(times), 1)
+                out[f"{pre}_qps"] = round(bs / wall, 1)
                 out[f"{pre}_tiles_frac"] = round(
                     mk_bpd2.last_tiles_scanned / nb_total, 3)
                 out[f"{pre}_recall100"] = round(
@@ -802,8 +796,12 @@ def main() -> None:
     # headline sized well under the driver's tail-capture window — by
     # round 4 the one-line dict outgrew it and the round's headline was
     # lost (BENCH_r04 "parsed": null, VERDICT r4 weak #1).
+    # fast/smoke runs must not clobber the committed flagship record
+    name = ("BENCH_SELF.json"
+            if not (fast or os.environ.get("VQ_BENCH_SMOKE") == "1")
+            else "BENCH_SELF_FAST.json")
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_SELF.json")
+                             name)
     with open(self_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")

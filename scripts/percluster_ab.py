@@ -46,11 +46,13 @@ from ivf_scan_ablate import gen_gate  # noqa: E402
 
 
 def _pad_cycle(rows: np.ndarray, bucket: int) -> np.ndarray:
-    """Cycle rows up to a pow2 bucket size: per-cluster fits/encodes then
-    hit only ~log2 distinct jit shapes instead of one compile PER CLUSTER
-    (each tunnel compile is 20-60 s; K=64 unbucketed shapes would burn
-    hours).  Full-cycle copies preserve every fit statistic; the partial
-    tail double-weights ≤ half the rows (measurement-only path)."""
+    """Cycle rows up to a pow2 bucket size so per-cluster ENCODES hit only
+    ~log2 distinct jit shapes instead of one compile PER CLUSTER (each
+    tunnel compile is 20-60 s; K=64 unbucketed shapes would burn hours).
+    Duplicated rows encode/decode identically and are sliced off — used
+    only for compress/decompress; FITS use an unbiased floor-bucket
+    subsample instead (cycling into a fit would double-weight the partial
+    tail's rows and bias the codebook statistics)."""
     reps = -(-bucket // len(rows))
     return np.tile(rows, (reps,) + (1,) * (rows.ndim - 1))[:bucket]
 
@@ -75,8 +77,9 @@ def per_cluster_search(x, q, gt, kcl, nprobe, make_quant, kq=100):
             continue
         res = x_np[rows] - cents_np[c]
         bucket = 1 << int(np.ceil(np.log2(max(2, len(rows)))))
+        fit_n = 1 << int(np.floor(np.log2(max(2, len(rows)))))
         quant = make_quant()
-        quant.fit(_pad_cycle(res, bucket))
+        quant.fit(res[:fit_n])  # unbiased pow2 subsample
         rec_p = quant.decompress(quant.compress(_pad_cycle(res, bucket)))
         recon[rows] = rec_p[: len(rows)] + cents_np[c]
     fit_s = time.perf_counter() - t0

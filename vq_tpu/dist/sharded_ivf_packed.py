@@ -45,6 +45,7 @@ from vq_tpu.dist.mesh import DATA_AXIS, make_mesh, replicate, shard_rows
 from vq_tpu.dist.sharded import _merge_local_topk, shard_map
 from vq_tpu.index.base import BaseSearchIndex, nbytes_of
 from vq_tpu.index.ivf import chunked_assign, encode_rows_ordered
+from vq_tpu.index.ivf_packed import default_mask_cap, tile_mask_from_probes
 from vq_tpu.kernels.adc import _bf16_supported, _finalize
 from vq_tpu.kernels.kmeans import kmeans, pairwise_sqdist_xc
 from vq_tpu.kernels.pallas_packed import PackedCorpus
@@ -189,8 +190,7 @@ class ShardedIvfPackedIndex(BaseSearchIndex):
         has_norms = self._has_norms
         prune_hint = self._prune_hint
         use_bf16 = self.search_cfg.use_bf16 and _bf16_supported()
-        tiles_per_cl = max(1, true_n // max(1, k_cl * _TILE)) + 1
-        mask_cap = int(min(nb_loc, 4 * nprobe * tiles_per_cl + 64))
+        mask_cap = default_mask_cap(nb_loc, nprobe, true_n, k_cl)
 
         def local(q, fac, stats, ids_l, cl_f, cl_l, *words):
             p = jax.lax.axis_index(DATA_AXIS)
@@ -198,13 +198,7 @@ class ShardedIvfPackedIndex(BaseSearchIndex):
             valid = jnp.clip(true_n - p * n_loc, 0, n_loc)
             cd = pairwise_sqdist_xc(q, centroids)  # replicated math
             _, probe = jax.lax.top_k(-cd, nprobe)
-            probed = jnp.zeros((k_cl,), jnp.int32)
-            probed = probed.at[probe.reshape(-1)].set(1)
-            pref = jnp.cumsum(probed)
-            cl_f, cl_l = cl_f[0], cl_l[0]
-            hi = pref[cl_l]
-            lo = jnp.where(cl_f > 0, pref[jnp.maximum(cl_f - 1, 0)], 0)
-            mask = (hi - lo > 0).astype(jnp.int32)  # (nb_loc,)
+            mask = tile_mask_from_probes(probe, cl_f[0], cl_l[0], k_cl)
             sub = PackedCorpus(
                 words=tuple(w[0] for w in words), factors=fac[0],
                 num_rows=n_loc,
@@ -213,8 +207,7 @@ class ShardedIvfPackedIndex(BaseSearchIndex):
             )
             s, pos = quantizer.packed_scan_raw(
                 q, sub, k, metric, num_valid=valid, use_bf16=use_bf16,
-                interpret=interp, tile_mask=mask,
-                mask_cap=mask_cap if mask_cap < nb_loc else None,
+                interpret=interp, tile_mask=mask, mask_cap=mask_cap,
             )
             gid = jnp.take(ids_l[0], jnp.clip(pos, 0, n_loc - 1))
             s = jnp.where(gid < 0, -jnp.inf, s)  # pad rows never surface

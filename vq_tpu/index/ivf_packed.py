@@ -65,6 +65,31 @@ from vq_tpu.methods.base import BaseQuantizer
 _TILE = 512  # kernels/pallas_packed._TILE
 
 
+def tile_mask_from_probes(probes: jax.Array, cl_first: jax.Array,
+                          cl_last: jax.Array, k_cl: int) -> jax.Array:
+    """Probed cluster ids (any shape) → (nb,) i32 tile mask in O(K+tiles):
+    a tile is scanned iff any cluster in its [first, last] range is probed
+    — prefix sums over the probed flag make the range-any a two-gather
+    subtraction.  Shared by the single-device and sharded probed-tile
+    indexes (their semantics contract requires identical masks)."""
+    probed = jnp.zeros((k_cl,), jnp.int32)
+    probed = probed.at[probes.reshape(-1)].set(1)
+    pref = jnp.cumsum(probed)  # (K,) inclusive
+    hi = pref[cl_last]
+    lo = jnp.where(cl_first > 0, pref[jnp.maximum(cl_first - 1, 0)], 0)
+    return (hi - lo > 0).astype(jnp.int32)
+
+
+def default_mask_cap(nb: int, nprobe: int, num_rows: int, k_cl: int):
+    """Static short-grid cap for the gather kernel: a coherence-aware
+    estimate of one mask's tile budget (~4× the perfectly-coherent nprobe
+    span); None when it wouldn't shorten the grid.  Overflow falls back
+    to the full grid inside the kernel wrapper (exact either way)."""
+    tiles_per_cl = num_rows // (k_cl * _TILE) + 1
+    cap = int(min(nb, 4 * nprobe * tiles_per_cl + 64))
+    return cap if cap < nb else None
+
+
 class IvfPackedFlatIndex(BaseSearchIndex):
     """Probed-tile packed scan for SAQ/RaBitQ/RankAware-family quantizers
     (anything with prepare_tile_cache + packed_scan_raw)."""
@@ -145,6 +170,7 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         self.cl_last = jnp.asarray(lasts.astype(np.int32))
         self.num_rows = n
         self._search_fn = None
+        self._last_tiles = None  # stale count from a previous corpus
         return self
 
     # --------------------------------------------------------------- search
@@ -155,14 +181,10 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         use_bf16 = self.search_cfg.use_bf16 and _bf16_supported()
         interp = jax.default_backend() != "tpu"
         nb = -(-self.num_rows // _TILE)
-        # static short-grid cap for the gather kernel: a coherence-aware
-        # estimate of one mask's tile budget (~4× the perfectly-coherent
-        # nprobe span); overflow falls back to the full grid inside the
-        # kernel wrapper (exact either way)
-        tiles_per_cl = self.num_rows // (k_cl * _TILE) + 1
+        num_rows = self.num_rows
 
         def _cap(np_):
-            return int(min(nb, 4 * np_ * tiles_per_cl + 64))
+            return default_mask_cap(nb, np_, num_rows, k_cl)
 
         @functools.partial(jax.jit, static_argnames=("kk", "np_", "ng"))
         def run(q, centroids, cache, ids_sorted, cl_first, cl_last,
@@ -183,17 +205,7 @@ class IvfPackedFlatIndex(BaseSearchIndex):
 
             def one_group(args):
                 qb, pb = args
-                probed = jnp.zeros((k_cl,), jnp.int32)
-                probed = probed.at[pb.reshape(-1)].set(1)
-                # tile mask in O(K + tiles): a tile is scanned iff any
-                # cluster in its [first, last] range is probed — prefix
-                # sums over the probed flag make the range-any a
-                # two-gather subtraction
-                pref = jnp.cumsum(probed)  # (K,) inclusive
-                hi = pref[cl_last]
-                lo = jnp.where(cl_first > 0,
-                               pref[jnp.maximum(cl_first - 1, 0)], 0)
-                mask = (hi - lo > 0).astype(jnp.int32)  # (nb,)
+                mask = tile_mask_from_probes(pb, cl_first, cl_last, k_cl)
                 s, pos = quantizer.packed_scan_raw(
                     qb, cache, kk, metric, use_bf16=use_bf16,
                     interpret=interp, tile_mask=mask, mask_cap=_cap(np_),
@@ -245,6 +257,49 @@ class IvfPackedFlatIndex(BaseSearchIndex):
         ids = np.asarray(ids)[:nq]
         scores = np.asarray(scores)[:nq]
         return np.where(ids < 0, 0, ids).astype(np.uint32), scores
+
+    def sustained_search_s(self, queries, k: int = 10,
+                           query_groups: Optional[int] = None,
+                           reps: int = 5, outer: int = 3) -> float:
+        """Best sustained seconds per search over `reps` dependent in-jit
+        repetitions — the tunnel adds ~28 ms and wild jitter per eager
+        dispatch, so single-call timing is meaningless (CLAUDE.md);
+        benchmarks must use this, not wall-clock around
+        search_with_scores."""
+        import time
+
+        nprobe = min(self.ivf_cfg.nprobe, int(self.centroids.shape[0]))
+        if self._search_fn is None:
+            self._search_fn = self._build_search_fn()
+        fn = self._search_fn
+        q = jnp.asarray(queries, jnp.float32)
+        nq = q.shape[0]
+        ng = self.query_groups if query_groups is None else query_groups
+        ng = max(1, min(int(ng), nq))
+        pad = (-nq) % ng
+        if pad:
+            q = jnp.concatenate(
+                [q, jnp.broadcast_to(q[-1:], (pad, q.shape[1]))])
+
+        @functools.partial(jax.jit,
+                           static_argnames=("kk", "np_", "ng", "reps"))
+        def run_reps(q, centroids, cache, ids_sorted, cl_first, cl_last,
+                     kk, np_, ng, reps):
+            def body(_, acc):
+                s, i, t = fn(q + acc * 0, centroids, cache, ids_sorted,
+                             cl_first, cl_last, kk=kk, np_=np_, ng=ng)
+                return acc + s[0, 0] * 1e-30
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        args = (q, self.centroids, self.cache, self.ids_sorted,
+                self.cl_first, self.cl_last)
+        float(run_reps(*args, kk=k, np_=nprobe, ng=ng, reps=reps))  # warm
+        best = float("inf")
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            float(run_reps(*args, kk=k, np_=nprobe, ng=ng, reps=reps))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
 
     @property
     def last_tiles_scanned(self) -> int:

@@ -395,12 +395,19 @@ def _packed_kernel(
     word_refs = rest[pos : pos + len(segs)]
     lv_refs = rest[pos + len(segs) : pos + len(segs) + n_lv]
     tail = rest[pos + len(segs) + n_lv :]
+    merge = k >= 32  # merge-fold scratch present only at large k
+    top_s_ref = top_i_ref = None
     if prune:
-        (outs_ref, outi_ref, outn_ref, run_s_ref, run_i_ref, top_s_ref,
-         top_i_ref, cnt_ref) = tail
-    else:
+        if merge:
+            (outs_ref, outi_ref, outn_ref, run_s_ref, run_i_ref, top_s_ref,
+             top_i_ref, cnt_ref) = tail
+        else:
+            outs_ref, outi_ref, outn_ref, run_s_ref, run_i_ref, cnt_ref = tail
+    elif merge:
         (outs_ref, outi_ref, run_s_ref, run_i_ref, top_s_ref,
          top_i_ref) = tail
+    else:
+        outs_ref, outi_ref, run_s_ref, run_i_ref = tail
     f32 = jnp.float32
     step = pl.program_id(0)
     # tid: the GLOBAL tile this step scores.  Dense grid: tid == step.
@@ -680,9 +687,12 @@ def packed_scan_topk(
     scratch = [
         pltpu.VMEM((num_q, _KPAD), f32),
         pltpu.VMEM((num_q, _KPAD), jnp.int32),
-        pltpu.VMEM((num_q, _KPAD), f32),  # merge-fold tile-top scores
-        pltpu.VMEM((num_q, _KPAD), jnp.int32),  # merge-fold tile-top ids
     ]
+    if k >= 32:  # merge-fold tile-top scratch (scores + ids)
+        scratch += [
+            pltpu.VMEM((num_q, _KPAD), f32),
+            pltpu.VMEM((num_q, _KPAD), jnp.int32),
+        ]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [lim]
     if prune:

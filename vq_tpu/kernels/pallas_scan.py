@@ -278,9 +278,8 @@ def fold_running_topk_merge(run_s_ref, run_i_ref, s, col_ids, k,
 
 
 def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
-                      dec_ref, run_s_ref, run_i_ref, top_s_ref, top_i_ref,
-                      *, num_sub, k_size, dsub,
-                      tile, k, nb, l2: bool, group: int = 1):
+                      dec_ref, run_s_ref, run_i_ref, *tops, num_sub, k_size,
+                      dsub, tile, k, nb, l2: bool, group: int = 1):
     """One grid step: decode `tile` rows, score against all queries, and fold
     the tile into a RUNNING exact top-k kept in VMEM scratch (iterative
     max + first-index + mask on the VPU, overlapped with the next tile's MXU
@@ -316,7 +315,7 @@ def _scan_topk_kernel(limit_ref, q_ref, codes_ref, cb_ref, outs_ref, outi_ref,
 
     if k >= 32:  # merge-fold amortizes large k (see its docstring)
         fold_running_topk_merge(run_s_ref, run_i_ref, s, col_ids, k,
-                                top_s_ref, top_i_ref)
+                                tops[0], tops[1])
     else:
         fold_running_topk(run_s_ref, run_i_ref, s, col_ids, k)
 
@@ -387,9 +386,10 @@ def pq_scan_topk_fused(
             pltpu.VMEM((tile, num_sub * dsub), jnp.bfloat16),
             pltpu.VMEM((num_q, _KPAD), jnp.float32),
             pltpu.VMEM((num_q, _KPAD), jnp.int32),
+        ] + ([
             pltpu.VMEM((num_q, _KPAD), jnp.float32),  # merge-fold tile-top
             pltpu.VMEM((num_q, _KPAD), jnp.int32),
-        ],
+        ] if k >= 32 else []),
         interpret=interpret,
     )(lim, q, codes_i, cb)
     return outs[:, :k], outi[:, :k]
