@@ -95,13 +95,18 @@ def per_cluster_search(x, q, gt, kcl, nprobe, make_quant, kq=100):
     recon_j = jnp.asarray(recon)
 
     @jax.jit
-    def cand_dists(cand_idx, qi):
-        return jnp.sum((recon_j[cand_idx] - qi[None]) ** 2, axis=-1)
+    def cand_dists(recon_a, cand_idx, qi):
+        # recon rides as an ARGUMENT: a 600 MB closure constant would be
+        # serialized into every tunnel compile request and reliably
+        # broke the pipe (two round-5 runs died exactly here; CLAUDE.md
+        # closure-constant gotcha)
+        return jnp.sum((recon_a[cand_idx] - qi[None]) ** 2, axis=-1)
 
     for i in range(len(qn)):
         cand = np.concatenate([np.nonzero(asn == c)[0] for c in probes[i]])
         bucket = 1 << int(np.ceil(np.log2(max(2, len(cand)))))
-        dc = np.array(cand_dists(jnp.asarray(_pad_cycle(cand, bucket)),
+        dc = np.array(cand_dists(recon_j,
+                                 jnp.asarray(_pad_cycle(cand, bucket)),
                                  jnp.asarray(qn[i])))
         dc[len(cand):] = np.inf
         ids[i] = _pad_cycle(cand, bucket)[np.argsort(dc)[:kq]]
