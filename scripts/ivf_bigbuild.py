@@ -185,16 +185,15 @@ def main():
         for name, np_, ng in cells:
             mkp.ivf_cfg = dataclasses.replace(mkp.ivf_cfg, nprobe=np_)
             ids, _ = mkp.search_with_scores(qs, k=100, query_groups=ng)
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                ids, _ = mkp.search_with_scores(qs, k=100, query_groups=ng)
-                times.append(time.perf_counter() - t0)
+            # sustained in-jit reps (single-dispatch wall time measures
+            # tunnel jitter, not the kernel — CLAUDE.md)
+            wall = mkp.sustained_search_s(qs, k=100, query_groups=ng,
+                                          reps=3)
             if name == "flat":
                 dense_ids = ids
             print(json.dumps({
                 "cell": f"ivfpk_bs{bs}_{name}" + (str(ng) if ng > 1 else ""),
-                "qps": round(bs / min(times), 1),
+                "qps": round(bs / wall, 1),
                 "tiles_frac": round(mkp.last_tiles_scanned / nb, 4),
                 "recall100_vs_dense": round(
                     recall_at_k(dense_ids, ids, 100), 4),
