@@ -142,15 +142,20 @@ def gate_table() -> list:
                                 num_queries=1024, seed=0)
     rows = []
     for label, make, ref10 in GATE_GRID:
-        idx = FlatQuantizedIndex(make(), SearchConfig()).fit(data.vectors)
-        ids = idx.search(data.queries, k=100)
-        r10 = recall_at_k(data.ground_truth, ids, 10)
-        r100 = recall_at_k(data.ground_truth, ids, 100)
-        rows.append((label, r10, ref10, r100))
-        anchor = f" (dbpedia anchor {ref10:.3f})" if ref10 else ""
-        print(f"[gate] {label:<28} R@10 {r10:.3f}{anchor}  R@100 {r100:.3f}",
-              flush=True)
-        del idx
+        try:  # per-row isolation: one OOM/flake must not lose the table
+            idx = FlatQuantizedIndex(make(), SearchConfig()).fit(data.vectors)
+            ids = idx.search(data.queries, k=100)
+            r10 = recall_at_k(data.ground_truth, ids, 10)
+            r100 = recall_at_k(data.ground_truth, ids, 100)
+            rows.append((label, r10, ref10, r100))
+            anchor = f" (dbpedia anchor {ref10:.3f})" if ref10 else ""
+            print(f"[gate] {label:<28} R@10 {r10:.3f}{anchor}  "
+                  f"R@100 {r100:.3f}", flush=True)
+            del idx
+        except Exception as e:
+            print(f"[gate] {label:<28} ERROR {type(e).__name__}: {e}",
+                  flush=True)
+            rows.append((label, float("nan"), ref10, float("nan")))
     return rows
 
 

@@ -68,11 +68,28 @@ def _encode_decode(codebooks: jax.Array, xs: jax.Array) -> jax.Array:
     return decode_pq(codebooks, codes)
 
 
+def _xt_xhat(xt: jax.Array, xs: jax.Array, codebooks: jax.Array,
+             budget_bytes: int = 1 << 30) -> jax.Array:
+    """Xᵀ·X̂ accumulated over row chunks: the Procrustes update only needs
+    the (D, D) product, and materializing X̂ whole routes decode_pq's
+    (n, M, K) one-hot — 19.6 GB at M=192, n=100k (measured
+    RESOURCE_EXHAUSTED on the round-5 parity gate)."""
+    n = xt.shape[0]
+    m_sub, k_sz, _ = codebooks.shape
+    chunk = max(512, int(budget_bytes // (4 * m_sub * k_sz)))
+    acc = jnp.zeros((xt.shape[1], xt.shape[1]), jnp.float32)
+    for i0 in range(0, n, chunk):
+        xh = _encode_decode(codebooks, xs[:, i0 : i0 + chunk, :])
+        acc = acc + jnp.dot(
+            xt[i0 : i0 + chunk].T, xh, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return acc
+
+
 @jax.jit
-def _procrustes(x: jax.Array, x_hat: jax.Array) -> jax.Array:
+def _procrustes_from_m(m: jax.Array) -> jax.Array:
     """argmin_{R orthogonal} ‖X·R − X̂‖_F = U·Vᵀ with U,S,Vᵀ = svd(Xᵀ·X̂)."""
-    m = jnp.dot(x.T, x_hat, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(m, full_matrices=False)
     return jnp.dot(u, vt, precision=jax.lax.Precision.HIGHEST)
 
@@ -99,8 +116,7 @@ def fit(key: jax.Array, x, cfg: OPQConfig, train_cap: int = 100_000,
         xr = jnp.dot(xt, r, precision=jax.lax.Precision.HIGHEST)
         xs = _to_subspaces(xr, m)
         codebooks = _lloyd_refine(xs, codebooks)
-        x_hat = _encode_decode(codebooks, xs)
-        r = _procrustes(xt, x_hat)
+        r = _procrustes_from_m(_xt_xhat(xt, xs, codebooks))
     # final codebook polish on the converged rotation
     xr = jnp.dot(xt, r, precision=jax.lax.Precision.HIGHEST)
     xs = _to_subspaces(xr, m)
