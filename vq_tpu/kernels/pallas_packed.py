@@ -542,6 +542,12 @@ def _packed_kernel(
             outn_ref[0, 0] = cnt_ref[0]
 
 
+# Variance-prune stats ride SMEM as a (5, nb) f32 table; TPU SMEM is
+# ~1 MB, so past this many tiles (≈26M rows) the stage must stay off —
+# at that scale tiles are numerous enough that per-tile bounds carry
+# little information per byte anyway.  Callers gate prune on it.
+PRUNE_MAX_TILES = 40_000
+
 _TILE = 512  # rows per grid step; pinned — SegSpec beff choices (choose_beff)
 # and the Mosaic mis-DMA geometry guard are validated against this value.
 
@@ -625,6 +631,11 @@ def packed_scan_topk(
         assert tile_stats is not None and qprune is not None
         assert tile_stats.shape == (nb, 5), (tile_stats.shape, nb)
         assert qprune.shape == (num_q, 2), qprune.shape
+        # (5, nb) f32 in SMEM: 53M rows (103k tiles) measured a 3.3 MB
+        # SMEM allocation against the ~1 MB budget — callers must gate
+        assert nb <= PRUNE_MAX_TILES, (
+            f"prune stats exceed SMEM at nb={nb}; gate prune on "
+            "PRUNE_MAX_TILES")
 
     if metric_kind == "l2":
         assert r2_cols and all(0 <= c < nf for c in r2_cols), (r2_cols, nf)

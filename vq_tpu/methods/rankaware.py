@@ -420,7 +420,10 @@ class RankAware(BaseQuantizer):
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
                         use_bf16=True, interpret=False, tile_mask=None,
                         mask_cap=None):
-        prune = packed.tile_stats is not None and packed.prune_hint
+        from vq_tpu.kernels.pallas_packed import PRUNE_MAX_TILES
+
+        prune = (packed.tile_stats is not None and packed.prune_hint
+                 and packed.factors.shape[0] // 512 <= PRUNE_MAX_TILES)
         out = _packed_scan(
             self.params, self.bits, queries, packed, k, metric,
             num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,

@@ -883,10 +883,17 @@ def scan_topk(
             and rerank_factor * k <= 128
         )
         if not want_prune:
+            from vq_tpu.kernels.pallas_packed import PRUNE_MAX_TILES
+
             prune = (
                 prune_tiles
                 if prune_tiles is not None
                 else (packed.tile_stats is not None and packed.prune_hint)
+            )
+            # (5, nb) SMEM stats blow the ~1 MB scalar memory past ~26M
+            # rows (measured at 53M) — the stage must stay off there
+            prune = prune and (
+                packed.factors.shape[0] // 512 <= PRUNE_MAX_TILES
             )
             if prune:
                 outs, outi, _ = _packed_scan(
@@ -1136,7 +1143,10 @@ class SAQ(BaseQuantizer):
     def packed_scan_raw(self, queries, packed, k, metric, num_valid=None,
                         use_bf16=True, interpret=False, tile_mask=None,
                         mask_cap=None):
-        prune = packed.tile_stats is not None and packed.prune_hint
+        from vq_tpu.kernels.pallas_packed import PRUNE_MAX_TILES
+
+        prune = (packed.tile_stats is not None and packed.prune_hint
+                 and packed.factors.shape[0] // 512 <= PRUNE_MAX_TILES)
         out = _packed_scan(
             self.plan, self.params, queries, packed, k, metric,
             num_valid=num_valid, interpret=interpret, use_bf16=use_bf16,
