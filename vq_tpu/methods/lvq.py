@@ -73,8 +73,16 @@ class LVQ(BaseQuantizer):
         self.params = fit(jnp.asarray(X))
         return self
 
-    def compress(self, X: np.ndarray) -> np.ndarray:
-        return np.asarray(encode(self.params, jnp.asarray(X), self.cfg.num_bits))
+    def compress(self, X: np.ndarray, chunk: int = 16384) -> np.ndarray:
+        # row-chunked: pack_bits materializes an (n, D, bits) bit tensor
+        # (4.9 GB at 100k×1536×8 before reshape copies — measured
+        # RESOURCE_EXHAUSTED on the round-5 parity gate)
+        out = []
+        for i0 in range(0, X.shape[0], chunk):
+            out.append(np.asarray(encode(
+                self.params, jnp.asarray(X[i0 : i0 + chunk]),
+                self.cfg.num_bits)))
+        return np.concatenate(out) if len(out) > 1 else out[0]
 
     def decompress(self, codes: np.ndarray) -> np.ndarray:
         return np.asarray(decode(self.params, jnp.asarray(codes), self.cfg.num_bits))
