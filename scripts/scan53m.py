@@ -71,10 +71,14 @@ def _saq_53m(jax, jnp, gen_chunk, n, nq, d, k, chunk, sigma) -> None:
                   first.words[s].dtype)
         for s in range(s_cnt)
     ]
-    fac_buf = jnp.zeros((n_pad,) + first.factors.shape[1:],
-                        first.factors.dtype)
-    stats_buf = jnp.zeros((n_pad // 512,) + first.tile_stats.shape[1:],
-                          first.tile_stats.dtype)
+    # factors/stats are SKINNY (N, 3-5) planes: the donation-put program
+    # copies them in a T(8, 128)-tiled layout — minor dim padded 3→128,
+    # 27 GB at 53M (measured compile-time OOM) — while the wide word
+    # planes (ln ≥ 128 lanes) copy compactly.  Assemble the skinny
+    # planes HOST-side (1.6 MB per chunk) and device_put once.
+    fac_np = np.zeros((n_pad,) + first.factors.shape[1:], np.float32)
+    stats_np = np.zeros((n_pad // 512,) + first.tile_stats.shape[1:],
+                        np.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def put(buf, part, off):
@@ -90,13 +94,17 @@ def _saq_53m(jax, jnp, gen_chunk, n, nq, d, k, chunk, sigma) -> None:
         for s in range(s_cnt):
             words_bufs[s] = put(words_bufs[s], pc.words[s],
                                 i0 // u_list[s])
-        fac_buf = put(fac_buf, pc.factors, i0)
-        stats_buf = put(stats_buf, pc.tile_stats, i0 // 512)
+        rows_pad = pc.factors.shape[0]
+        fac_np[i0 : i0 + rows_pad] = np.asarray(pc.factors)
+        stats_np[i0 // 512 : i0 // 512 + rows_pad // 512] = np.asarray(
+            pc.tile_stats)
         last_x, last_i0 = x, i0
         del pc  # byte rows freed per chunk — the 53M enabler
     first = None
     words = tuple(words_bufs)
-    factors = fac_buf
+    factors = jnp.asarray(fac_np)
+    stats_buf = jnp.asarray(stats_np)
+    del fac_np, stats_np
     cache = PackedCorpus(
         words=words, factors=factors, num_rows=n, tile_stats=stats_buf,
         has_norms=False,
