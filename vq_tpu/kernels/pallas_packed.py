@@ -543,10 +543,11 @@ def _packed_kernel(
 
 
 # Variance-prune stats ride SMEM as a (5, nb) f32 table; TPU SMEM is
-# ~1 MB, so past this many tiles (≈26M rows) the stage must stay off —
-# at that scale tiles are numerous enough that per-tile bounds carry
-# little information per byte anyway.  Callers gate prune on it.
-PRUNE_MAX_TILES = 40_000
+# ~1 MB and pads per ROW, and the measured requirement at nb=32768 was
+# already 1.00 MB (compile-time reject at 16.7M rows) — past this many
+# tiles (≈8.4M rows) the stage must stay off; at that scale per-tile
+# bounds carry little information per byte anyway.  Callers gate on it.
+PRUNE_MAX_TILES = 16_384
 
 _TILE = 512  # rows per grid step; pinned — SegSpec beff choices (choose_beff)
 # and the Mosaic mis-DMA geometry guard are validated against this value.
