@@ -473,7 +473,13 @@ def _packed_kernel(
         go = None
 
     def _scan_tile():
-        fac = fac_ref[:]
+        # fac rides HBM as a (nb, tile·nf) row-major bitcast of the
+        # public (N, nf) array: a windowed (tile, nf) input would be
+        # copied to a T(8, 128)-tiled layout — minor dim nf (3-10)
+        # padded to 128 lanes, 27 GB at 53M rows (measured compile-time
+        # OOM); the flat view keeps lanes dense and the per-tile
+        # reshape below is a small in-VMEM relayout.
+        fac = fac_ref[:].reshape(tile, fac_ref.shape[1] // tile)
         parts = []
         li = 0
         for s, seg in enumerate(segs):
@@ -726,10 +732,10 @@ def packed_scan_topk(
         )
         scratch.append(pltpu.SMEM((1,), jnp.int32))
     in_specs += [
-        pl.BlockSpec((tile, nf), _tile_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile * nf), _tile_ix, memory_space=pltpu.VMEM),
     ] + word_specs + lv_specs
     inputs += [
-        factors.astype(f32),
+        factors.astype(f32).reshape(nb, tile * nf),
         *words,
         *[t.astype(f32) for t in lv_tables],
     ]
